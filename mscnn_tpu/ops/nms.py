@@ -1,0 +1,82 @@
+"""On-device, fixed-shape greedy NMS.
+
+The reference runs NMS on the host every iteration
+(/root/reference/src/caffe/layers/box_output_layer.cpp:39-63, `nmsMax`): boxes
+sorted by score, each surviving box suppresses later boxes whose overlap
+exceeds the threshold. Here the same greedy semantics run entirely on-device
+with static shapes: candidates are sorted with invalid entries pushed to the
+end, then a sequential suppression loop updates a keep-mask. A Pallas TPU
+kernel (mscnn_tpu/ops/pallas/nms_kernel.py) provides the fast path; this
+module is the reference jnp implementation and the fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mscnn_tpu.ops import boxes as box_ops
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def sort_by_score(boxes, scores, valid):
+    """Descending score order with invalid entries last. Returns sorted copies."""
+    s = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-s)
+    return boxes[order], s[order], valid[order], order
+
+
+def nms_keep_mask(sorted_boxes, sorted_valid, *, iou_thr: float, mode: str = "iou"):
+    """Greedy suppression over score-sorted (x, y, w, h) boxes.
+
+    Returns a bool keep mask aligned with the sorted inputs. Box j is kept iff
+    it is valid and no kept box i < j overlaps it above ``iou_thr``.
+    """
+    n = sorted_boxes.shape[0]
+    idx = jnp.arange(n)
+
+    def body(i, keep):
+        row = box_ops.iou_xywh(sorted_boxes[i][None, :], sorted_boxes, mode)[0]
+        suppress = (row > iou_thr) & (idx > i) & keep[i]
+        return keep & ~suppress
+
+    return jax.lax.fori_loop(0, n, body, sorted_valid)
+
+
+def nms_xywh(
+    boxes,
+    scores,
+    valid,
+    *,
+    iou_thr: float,
+    mode: str = "iou",
+    max_out: int,
+):
+    """Full fixed-shape NMS: sort, suppress, compact survivors to the front.
+
+    boxes: [N, 4] (x, y, w, h); scores/valid: [N].
+    Returns (out_boxes [max_out, 4], out_scores [max_out], out_valid [max_out]).
+    Survivors appear in descending score order; slots past the survivor count
+    are masked invalid (boxes/scores zeroed).
+    """
+    sb, ss, sv, _ = sort_by_score(boxes, scores, valid)
+    keep = nms_keep_mask(sb, sv, iou_thr=iou_thr, mode=mode)
+    # Stable-compact kept boxes (already score-ordered) to the front.
+    compact = jnp.argsort(~keep, stable=True)[:max_out]
+    out_valid = keep[compact]
+    out_boxes = jnp.where(out_valid[:, None], sb[compact], 0.0)
+    out_scores = jnp.where(out_valid, ss[compact], 0.0)
+    return out_boxes, out_scores, out_valid
+
+
+def topk_candidates(boxes, scores, valid, k: int):
+    """Keep the top-k valid candidates by score (the pre-NMS cap).
+
+    Mirrors box_output_layer.cpp:175-179 (sort + resize to max_nms_num).
+    Returns (boxes [k, 4], scores [k], valid [k]) in descending score order.
+    """
+    s = jnp.where(valid, scores, NEG_INF)
+    top_s, top_i = jax.lax.top_k(s, k)
+    out_valid = top_s > NEG_INF / 2
+    return boxes[top_i], jnp.where(out_valid, top_s, 0.0), out_valid
