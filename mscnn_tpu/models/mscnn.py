@@ -1,0 +1,316 @@
+"""MS-CNN: multi-scale proposal + detection network, as pure functions.
+
+The reference expresses this model as prototxt over a VGG16 trunk with
+per-scale "LFCN" heads, an anchor-field BoxOutput proposal stage, and a
+Fast-R-CNN style ROI head over 2x-upsampled conv4_3 features
+(/root/reference/examples/kitti_car/mscnn-7s-576-2x/mscnn_deploy.prototxt,
+trainval_2nd.prototxt). Here the whole network is a pair of pure functions
+(init_params, apply) over a flat params dict; everything jit-compiles to one
+XLA program with static shapes, and proposals never leave the device.
+
+Layout: NHWC activations, HWIO conv kernels, [in, out] dense weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mscnn_tpu.ops import boxes as box_ops
+from mscnn_tpu.ops import conv as C
+from mscnn_tpu.ops import nms as nms_ops
+from mscnn_tpu.ops import roi as roi_ops
+from mscnn_tpu.utils import fillers
+
+# VGG16 trunk: (name, out_channels); pools sit between the blocks.
+VGG_BLOCKS = (
+    ("conv1_1", 64), ("conv1_2", 64),
+    ("conv2_1", 128), ("conv2_2", 128),
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256),
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512),
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512),
+)
+POOL_AFTER = {"conv1_2": "pool1", "conv2_2": "pool2", "conv3_3": "pool3",
+              "conv4_3": "pool4", "conv5_3": "pool5"}
+
+
+@dataclasses.dataclass(frozen=True)
+class BranchSpec:
+    """One proposal head: a small FCN on a trunk feature map."""
+    name: str       # e.g. "LFCN_1_5x5"
+    source: str     # trunk feature: "loss1_conv1", "conv5_3", "conv6_1", "pool6"
+    kernel: int     # 5 or 7
+    stride: int     # image-space downsample rate of the source map
+    field_w: float  # anchor field size in image pixels
+    field_h: float
+
+
+@dataclasses.dataclass(frozen=True)
+class ProposalSpec:
+    """BoxOutput parameters (caffe.proto BoxOutputParameter)."""
+    fg_thr: float = -8.0
+    iou_thr: float = 0.65
+    nms_mode: str = "iou"
+    max_nms_num: int = 3000    # pre-NMS top-k cap
+    max_out: int = 512         # fixed post-NMS roi capacity (TPU static shape)
+    min_size: float = 15.0
+    field_whr: float = 2.0
+    field_xyr: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MSCNNConfig:
+    name: str = "mscnn-7s-576-2x"
+    num_classes: int = 5       # incl. background
+    input_hw: tuple = (576, 768)
+    branches: tuple = ()
+    proposal: ProposalSpec = dataclasses.field(default_factory=ProposalSpec)
+    bbox_mean: tuple = (0.0, 0.0, 0.0, 0.0)
+    bbox_std: tuple = (0.1, 0.1, 0.2, 0.2)
+    # ROI head
+    use_2x_upsample: bool = True
+    roi_pooled: int = 7
+    roi_pad_ratio: float = 0.25
+    roi_spatial_scale: float = 0.25
+    roi_samples: int = 8       # sample grid per pooling bin
+    roi_align: bool = False    # Cascade variants use ROIAlign
+    fc_dim: int = 4096
+    dropout: float = 0.5
+    compute_dtype: str = "float32"   # "bfloat16" for the fast path
+
+    @property
+    def head_channels(self) -> int:
+        return self.num_classes + 4
+
+    def cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def kitti_car_branches():
+    """The 7-scale KITTI-car pyramid (trainval_2nd.prototxt:32-52)."""
+    fields = (60.0, 84.0, 120.0, 168.0, 240.0, 336.0, 480.0)
+    return (
+        BranchSpec("LFCN_1_5x5", "loss1_conv1", 5, 8, fields[0], fields[0]),
+        BranchSpec("LFCN_1_7x7", "loss1_conv1", 7, 8, fields[1], fields[1]),
+        BranchSpec("LFCN_2_5x5", "conv5_3", 5, 16, fields[2], fields[2]),
+        BranchSpec("LFCN_2_7x7", "conv5_3", 7, 16, fields[3], fields[3]),
+        BranchSpec("LFCN_3_5x5", "conv6_1", 5, 32, fields[4], fields[4]),
+        BranchSpec("LFCN_3_7x7", "conv6_1", 7, 32, fields[5], fields[5]),
+        BranchSpec("LFCN_4_5x5", "pool6", 5, 64, fields[6], fields[6]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: MSCNNConfig):
+    """Initialize the full parameter pytree (flat dict layer -> {w, b}).
+
+    Trunk convs use MSRA (they are meant to be overwritten by imported VGG16
+    weights); new layers follow the prototxt fillers: gaussian std 0.01 for
+    loss1_conv1/conv6_1/roi_c1/cls_pred, std 0.001 for LFCN heads, fc6 and
+    bbox_pred; the 2x upsampler is a frozen bilinear kernel.
+    """
+    params = {}
+    keys = iter(jax.random.split(key, 64))
+    in_c = 3
+    for lname, out_c in VGG_BLOCKS:
+        params[lname] = {
+            "w": fillers.msra(next(keys), (3, 3, in_c, out_c)),
+            "b": fillers.constant((out_c,)),
+        }
+        in_c = out_c
+    params["conv6_1"] = {
+        "w": fillers.gaussian(next(keys), (3, 3, 512, 512), 0.01),
+        "b": fillers.constant((512,)),
+    }
+    params["loss1_conv1"] = {
+        "w": fillers.gaussian(next(keys), (3, 3, 512, 512), 0.01),
+        "b": fillers.constant((512,)),
+    }
+    hc = cfg.head_channels
+    for br in cfg.branches:
+        params[br.name] = {
+            "w": fillers.gaussian(next(keys), (br.kernel, br.kernel, 512, hc), 0.001),
+            "b": fillers.constant((hc,)),
+        }
+    if cfg.use_2x_upsample:
+        params["conv4_3_2x"] = {"w": fillers.bilinear(4, 512)}
+    pooled_in = 2 * 512  # org + ctx concat
+    params["roi_c1"] = {
+        "w": fillers.gaussian(next(keys), (3, 3, pooled_in, 512), 0.01),
+        "b": fillers.constant((512,)),
+    }
+    grid = cfg.roi_pooled + 1 if cfg.roi_align else cfg.roi_pooled
+    fc_in = (grid - 2) * (grid - 2) * 512  # after 3x3 VALID conv
+    params["fc6"] = {
+        "w": fillers.gaussian(next(keys), (fc_in, cfg.fc_dim), 0.001),
+        "b": fillers.constant((cfg.fc_dim,)),
+    }
+    params["cls_pred"] = {
+        "w": fillers.gaussian(next(keys), (cfg.fc_dim, cfg.num_classes), 0.01),
+        "b": fillers.constant((cfg.num_classes,)),
+    }
+    params["bbox_pred"] = {
+        "w": fillers.gaussian(next(keys), (cfg.fc_dim, 4 * cfg.num_classes), 0.001),
+        "b": fillers.constant((4 * cfg.num_classes,)),
+    }
+    return params
+
+
+def param_lr_multipliers(params, cfg: MSCNNConfig):
+    """Caffe-style per-parameter lr multipliers: biases train at 2x, the
+    bilinear upsampler is frozen (lr_mult 0, trainval_2nd.prototxt)."""
+    mults = {}
+    for name, p in params.items():
+        if name == "conv4_3_2x":
+            mults[name] = {k: 0.0 for k in p}
+        else:
+            mults[name] = {k: (2.0 if k == "b" else 1.0) for k in p}
+    return mults
+
+
+# ---------------------------------------------------------------------------
+# Forward functions
+# ---------------------------------------------------------------------------
+
+def _cb(params, name, x, relu=True):
+    p = params[name]
+    y = C.conv2d(x, p["w"].astype(x.dtype), p["b"], padding=p["w"].shape[0] // 2)
+    return jax.nn.relu(y) if relu else y
+
+
+def trunk(params, x, cfg: MSCNNConfig):
+    """VGG16 trunk + conv6_1 + pool6 + loss1_conv1. x: [B, H, W, 3]
+    (BGR, mean-subtracted). Returns the feature dict used by heads/ROI."""
+    x = x.astype(cfg.cdtype())
+    feats = {}
+    for lname, _ in VGG_BLOCKS:
+        x = _cb(params, lname, x)
+        feats[lname] = x
+        if lname in POOL_AFTER:
+            x = C.max_pool(x, 2, 2)
+            feats[POOL_AFTER[lname]] = x
+    feats["conv6_1"] = _cb(params, "conv6_1", feats["pool5"])
+    feats["pool6"] = C.max_pool(feats["conv6_1"], 2, 2)
+    feats["loss1_conv1"] = _cb(params, "loss1_conv1", feats["conv4_3"])
+    return feats
+
+
+def heads(params, feats, cfg: MSCNNConfig):
+    """Per-branch raw head outputs, f32: list of [B, h, w, C+4]."""
+    outs = []
+    for br in cfg.branches:
+        y = _cb(params, br.name, feats[br.source], relu=False)
+        outs.append(y.astype(jnp.float32))
+    return outs
+
+
+def propose(head_outs, cfg: MSCNNConfig, *, apply_bbox_norm: bool = False):
+    """BoxOutput: decode all scales, filter, top-k, on-device NMS.
+
+    Returns a dict with fixed-capacity per-image proposals:
+      boxes  [B, R, 4]  image-space corners (x1, y1, x2, y2 = x1 + w)
+      scores [B, R]
+      valid  [B, R]
+    R = cfg.proposal.max_out. The per-scale DetectionLoss heads never apply
+    bbox normalization in the zoo configs, so apply_bbox_norm defaults off.
+    """
+    p = cfg.proposal
+    mean = cfg.bbox_mean if apply_bbox_norm else None
+    std = cfg.bbox_std if apply_bbox_norm else None
+
+    def one_image(per_scale):
+        all_b, all_s, all_v = [], [], []
+        for br, out in zip(cfg.branches, per_scale):
+            b, s, v = box_ops.decode_anchor_field(
+                out[..., : cfg.num_classes], out[..., cfg.num_classes:],
+                field_w=br.field_w, field_h=br.field_h, stride=br.stride,
+                field_whr=p.field_whr, field_xyr=p.field_xyr,
+                bbox_mean=mean, bbox_std=std, min_size=p.min_size,
+            )
+            v = v & (s >= p.fg_thr)
+            all_b.append(b)
+            all_s.append(s)
+            all_v.append(v)
+        bb = jnp.concatenate(all_b, 0)
+        ss = jnp.concatenate(all_s, 0)
+        vv = jnp.concatenate(all_v, 0)
+        k = min(p.max_nms_num, bb.shape[0])
+        bb, ss, vv = nms_ops.topk_candidates(bb, ss, vv, k)
+        ob, os_, ov = nms_ops.nms_xywh(
+            bb, ss, vv, iou_thr=p.iou_thr, mode=p.nms_mode, max_out=p.max_out)
+        return box_ops.xywh_to_corners(ob), os_, ov
+
+    boxes, scores, valid = jax.vmap(one_image)(head_outs)
+    return {"boxes": boxes, "scores": scores, "valid": valid}
+
+
+def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
+             *, train: bool = False, dropout_key: Optional[jax.Array] = None):
+    """Detection sub-network over proposals.
+
+    conv4_3: [B, H/8, W/8, 512]; batch_idx: [R]; rois: [R, 4] corners;
+    valid: [R]. Returns (cls_pred [R, C], bbox_pred [R, 4C]).
+    """
+    feat = conv4_3
+    scale = cfg.roi_spatial_scale
+    if cfg.use_2x_upsample:
+        feat = C.upsample2x_bilinear(conv4_3, params["conv4_3_2x"]["w"])
+
+    pool_fn = roi_ops.roi_align if cfg.roi_align else roi_ops.roi_max_pool
+    kwargs = {} if cfg.roi_align else {"samples": cfg.roi_samples}
+    org = pool_fn(feat, batch_idx, rois, valid, spatial_scale=scale,
+                  pad_ratio=0.0, pooled=cfg.roi_pooled, **kwargs)
+    ctx = pool_fn(feat, batch_idx, rois, valid, spatial_scale=scale,
+                  pad_ratio=cfg.roi_pad_ratio, pooled=cfg.roi_pooled, **kwargs)
+    x = jnp.concatenate([org, ctx], axis=-1).astype(cfg.cdtype())
+
+    p = params["roi_c1"]
+    x = jax.nn.relu(C.conv2d(x, p["w"].astype(x.dtype), p["b"], padding="VALID"))
+    x = x.reshape(x.shape[0], -1)
+    x = jax.nn.relu(C.dense(x, params["fc6"]["w"].astype(x.dtype), params["fc6"]["b"]))
+    if train and cfg.dropout > 0:
+        x = C.dropout(x, cfg.dropout, dropout_key, train=True)
+    cls = C.dense(x, params["cls_pred"]["w"].astype(x.dtype), params["cls_pred"]["b"])
+    bbox = C.dense(x, params["bbox_pred"]["w"].astype(x.dtype), params["bbox_pred"]["b"])
+    return cls.astype(jnp.float32), bbox.astype(jnp.float32)
+
+
+def flatten_proposals(prop):
+    """[B, R, ...] proposal dict -> flat per-roi arrays with batch indices."""
+    B, R = prop["valid"].shape
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+    boxes = prop["boxes"].reshape(B * R, 4)
+    scores = prop["scores"].reshape(B * R)
+    valid = prop["valid"].reshape(B * R)
+    return batch_idx, boxes, scores, valid
+
+
+def deploy_forward(params, images, cfg: MSCNNConfig):
+    """Full inference graph: images -> proposals + per-roi cls/bbox preds.
+
+    images: [B, H, W, 3] BGR mean-subtracted. Mirrors mscnn_deploy.prototxt:
+    trunk -> heads -> BoxOutput -> 2x deconv -> ROI pool (org+ctx) -> FC head.
+    Returns dict with proposals and raw cls_pred / bbox_pred (the final
+    softmax + per-class decode + NMS live in mscnn_tpu.inference).
+    """
+    feats = trunk(params, images, cfg)
+    outs = heads(params, feats, cfg)
+    prop = propose(outs, cfg)
+    batch_idx, boxes, scores, valid = flatten_proposals(prop)
+    cls_pred, bbox_pred = roi_head(
+        params, feats["conv4_3"], batch_idx, boxes, valid, cfg, train=False)
+    return {
+        "proposals": prop,
+        "batch_idx": batch_idx,
+        "rois": boxes,
+        "roi_scores": scores,
+        "roi_valid": valid,
+        "cls_pred": cls_pred,
+        "bbox_pred": bbox_pred,
+    }
