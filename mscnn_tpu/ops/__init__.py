@@ -1,1 +1,1 @@
-from mscnn_tpu.ops import boxes, nms  # noqa: F401
+from mscnn_tpu.ops import boxes, conv, losses, nms, roi  # noqa: F401

@@ -53,6 +53,25 @@ def iou_xywh(a, b, mode: str = "iou"):
     return iou[..., 0]
 
 
+def iou_aligned_xywh(a, b, mode: str = "iou"):
+    """Element-wise IoU between aligned (x, y, w, h) box arrays [..., 4]."""
+    tlx = jnp.maximum(a[..., 0], b[..., 0])
+    tly = jnp.maximum(a[..., 1], b[..., 1])
+    brx = jnp.minimum(a[..., 0] + a[..., 2], b[..., 0] + b[..., 2])
+    bry = jnp.minimum(a[..., 1] + a[..., 3], b[..., 1] + b[..., 3])
+    over = jnp.maximum(brx - tlx, 0.0) * jnp.maximum(bry - tly, 0.0)
+    area_a = a[..., 2] * a[..., 3]
+    area_b = b[..., 2] * b[..., 3]
+    if mode == "iomu":
+        denom = jnp.minimum(area_a, area_b)
+    elif mode == "iofu":
+        denom = area_a
+    else:
+        denom = area_a + area_b - over
+    valid = (a[..., 2] > 0) & (a[..., 3] > 0) & (b[..., 2] > 0) & (b[..., 3] > 0)
+    return jnp.where(valid & (denom > 0), over / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+
 def iou_corners(a, b, mode: str = "iou", inclusive: bool = False):
     """Pairwise IoU for (x1, y1, x2, y2) boxes; inclusive adds +1 to w/h."""
     off = 1.0 if inclusive else 0.0
@@ -161,12 +180,12 @@ def encode_anchor_field_targets(
 ):
     """Per-cell regression targets for the proposal sub-network loss.
 
-    Inputs are [H, W] maps of the matched gt's center/size (garbage where no
-    match -- the loss masks those cells). Returns [H, W, 4] targets
-    (gx, gy, gw, gh), normalized by (bbox_mean, bbox_std) when given.
+    Inputs are [..., H, W] maps of the matched gt's center/size (garbage
+    where no match -- the loss masks those cells). Returns [..., H, W, 4]
+    targets (gx, gy, gw, gh), normalized by (bbox_mean, bbox_std) when given.
     Sizes are floored at 2 px before the log, matching the reference.
     """
-    h, w = gt_cx.shape
+    h, w = gt_cx.shape[-2], gt_cx.shape[-1]
     centers = cell_centers(h, w, float(stride), gt_cx.dtype)
     gx = (gt_cx - centers[..., 0]) / field_w
     gy = (gt_cy - centers[..., 1]) / field_h
