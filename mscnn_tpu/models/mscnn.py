@@ -162,16 +162,36 @@ def init_params(key, cfg: MSCNNConfig):
     return params
 
 
+# Layers whose params are frozen during fine-tuning, and layers that keep the
+# VGG default multipliers (no param block => lr_mult 1 / decay_mult 1 for both
+# weight and bias); everything else is a new layer with w:(1,1) b:(2,1)
+# (trainval_2nd.prototxt param blocks).
+_FROZEN = ("conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv4_3_2x")
+_VGG_DEFAULT = ("conv3_1", "conv3_2", "conv3_3", "conv4_1", "conv4_2",
+                "conv4_3", "conv5_1", "conv5_2", "conv5_3")
+
+
 def param_lr_multipliers(params, cfg: MSCNNConfig):
-    """Caffe-style per-parameter lr multipliers: biases train at 2x, the
-    bilinear upsampler is frozen (lr_mult 0, trainval_2nd.prototxt)."""
+    """Caffe `param { lr_mult }` pytree: conv1/conv2 and the bilinear
+    upsampler frozen, VGG conv3-5 at 1x, new-layer biases at 2x."""
     mults = {}
     for name, p in params.items():
-        if name == "conv4_3_2x":
+        if name in _FROZEN:
             mults[name] = {k: 0.0 for k in p}
+        elif name in _VGG_DEFAULT:
+            mults[name] = {k: 1.0 for k in p}
         else:
             mults[name] = {k: (2.0 if k == "b" else 1.0) for k in p}
     return mults
+
+
+def param_decay_multipliers(params, cfg: MSCNNConfig):
+    """Caffe `param { decay_mult }` pytree: 0 for frozen layers, 1 elsewhere
+    (the MS-CNN prototxts never decay-exempt biases)."""
+    return {
+        name: {k: (0.0 if name in _FROZEN else 1.0) for k in p}
+        for name, p in params.items()
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -57,8 +57,10 @@ def max_pool(x, k: int = 2, stride: int = 2, pad: int = 0, ceil_mode: bool = Tru
     """Max pooling with Caffe's ceil-mode output-size convention."""
     (plo_h, phi_h), _ = _pool_padding(x.shape[1], k, stride, pad, ceil_mode)
     (plo_w, phi_w), _ = _pool_padding(x.shape[2], k, stride, pad, ceil_mode)
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
-        else jnp.iinfo(x.dtype).min
+    # init must be a weak-typed Python constant: a traced init value breaks
+    # reverse-mode autodiff of reduce_window under jit.
+    neg = float("-inf") if jnp.issubdtype(x.dtype, jnp.floating) \
+        else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x, neg, lax.max,
         window_dimensions=(1, k, k, 1),
@@ -72,7 +74,7 @@ def avg_pool(x, k: int = 2, stride: int = 2, pad: int = 0, ceil_mode: bool = Tru
     (plo_h, phi_h), _ = _pool_padding(x.shape[1], k, stride, pad, ceil_mode)
     (plo_w, phi_w), _ = _pool_padding(x.shape[2], k, stride, pad, ceil_mode)
     s = lax.reduce_window(
-        x, jnp.asarray(0, x.dtype), lax.add,
+        x, 0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0, lax.add,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (plo_h, phi_h), (plo_w, phi_w), (0, 0)),

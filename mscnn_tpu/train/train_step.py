@@ -1,0 +1,249 @@
+"""End-to-end MS-CNN training step, single XLA program, DP over a mesh.
+
+This replaces the reference's Solver::Step hot loop
+(/root/reference/src/caffe/solver.cpp:194-274) plus P2PSync multi-GPU data
+parallelism (/root/reference/src/caffe/parallel.cpp:325-380). One call =
+forward (trunk -> per-scale heads -> detection losses -> BoxOutput ->
+ProposalTarget -> ROI head -> cls/bbox losses) + backward + solver update,
+entirely on device: no host NMS roundtrip (box_output_layer.cpp runs on CPU
+every iteration in the reference) and no host bootstrap scan
+(detection_loss_layer.cu:129-190).
+
+Parallelism: `shard_map` over a 1-D "data" mesh axis; each device consumes a
+disjoint micro-batch (like each P2PSync worker), gradients are `pmean`-ed
+over ICI (the reference's tree-reduce + 1/solver_count scaling,
+parallel.cpp:375-377), and every device applies the identical update to its
+replicated params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mscnn_tpu.models import mscnn as M
+from mscnn_tpu.ops import losses as L
+from mscnn_tpu.ops import proposal_target as PT
+from mscnn_tpu.train import solver as S
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSpec:
+    """Stage-dependent training hyperparameters (trainval_{1st,2nd}.prototxt)."""
+    stage: int = 2                    # 1 = proposal sub-net only, 2 = joint
+    sample_mode: str = "bootstrap"    # stage 1 uses "random"
+    pos_neg_weighted: bool = True     # stage 1: false
+    branch_loss_weight: float = 0.9   # per-scale DetectionLoss loss_weight
+    cls_loss_weight: float = 1.0
+    bbox_loss_weight: float = 1.0
+    smooth_l1_sigma: float = 1.0
+    fg_threshold: float = 0.5         # rasterizer fg IoU (image_gt_data_param)
+    bg_threshold: float = 0.2
+    bg_multiple: float = 2.0
+    roi_batch: int = 256              # ProposalTarget batch_size (TRAIN)
+    roi_fg_fraction: float = 0.25
+    roi_fg_thr: float = 0.5
+    roi_bg_thr_hg: float = 0.49
+    roi_bg_thr_lw: float = 0.1
+    with_metrics: bool = True
+
+
+def branch_loss_specs(cfg: M.MSCNNConfig, tspec: TrainSpec):
+    """Per-branch DetectionLossSpec; DetectionLoss heads in the zoo never use
+    bbox mean/std normalization (only the roi-stage bbox_pred does)."""
+    return tuple(
+        L.DetectionLossSpec(
+            cls_num=cfg.num_classes,
+            field_w=br.field_w, field_h=br.field_h, stride=br.stride,
+            field_whr=cfg.proposal.field_whr, field_xyr=cfg.proposal.field_xyr,
+            bg_threshold=tspec.bg_threshold, bg_multiple=tspec.bg_multiple,
+            sample_mode=tspec.sample_mode,
+            pos_neg_weighted=tspec.pos_neg_weighted,
+        )
+        for br in cfg.branches
+    )
+
+
+def proposal_target_spec(cfg: M.MSCNNConfig, tspec: TrainSpec,
+                         num_img: int) -> PT.ProposalTargetSpec:
+    h, w = cfg.input_hw
+    return PT.ProposalTargetSpec(
+        cls_num=cfg.num_classes,
+        batch_size=tspec.roi_batch,
+        fg_fraction=tspec.roi_fg_fraction,
+        fg_thr=tspec.roi_fg_thr,
+        bg_thr_hg=tspec.roi_bg_thr_hg,
+        bg_thr_lw=tspec.roi_bg_thr_lw,
+        num_img_per_batch=num_img,
+        img_width=w, img_height=h,
+        bbox_mean=cfg.bbox_mean, bbox_std=cfg.bbox_std,
+    )
+
+
+def _flatten_gts(gt_boxes, gt_valid):
+    """[B, G, 7] per-image gts -> flat [B*G, 7] with batch-index column."""
+    b, g, _ = gt_boxes.shape
+    img = jnp.repeat(jnp.arange(b, dtype=jnp.float32), g)
+    flat = gt_boxes.reshape(b * g, 7).at[:, 0].set(img)
+    return flat, gt_valid.reshape(b * g)
+
+
+def loss_fn(params, batch, key, cfg: M.MSCNNConfig, tspec: TrainSpec):
+    """Total training loss + metrics for one (micro-)batch.
+
+    batch = {"image": [B, H, W, 3] BGR mean-subtracted,
+             "labels": tuple of per-scale [B, h, w, 6] maps,
+             "gt_boxes": [B, G, 7] (img_id, x1, y1, x2, y2, label, ignored),
+             "gt_valid": [B, G] bool}.
+    """
+    specs = branch_loss_specs(cfg, tspec)
+    k_det, k_pt, k_drop = jax.random.split(key, 3)
+
+    feats = M.trunk(params, batch["image"], cfg)
+    outs = M.heads(params, feats, cfg)
+
+    total = 0.0
+    metrics = {}
+    det_keys = jax.random.split(k_det, len(outs))
+    for i, (out, lab, spec) in enumerate(zip(outs, batch["labels"], specs)):
+        li, aux = L.detection_loss(out, lab, spec, key=det_keys[i])
+        total = total + tspec.branch_loss_weight * li
+        metrics[f"det_loss_{i}"] = li
+        if tspec.with_metrics:
+            acc = L.detection_accuracy(out, lab, spec)
+            metrics[f"det_acc_{i}"] = acc["accuracy"]
+            metrics[f"det_fg_acc_{i}"] = acc["fore_accuracy"]
+            metrics[f"det_boxiou_{i}"] = acc["boxiou"]
+
+    if tspec.stage >= 2:
+        prop = M.propose(outs, cfg)
+        batch_idx, boxes, _, valid = M.flatten_proposals(prop)
+        gt_flat, gt_valid_flat = _flatten_gts(batch["gt_boxes"], batch["gt_valid"])
+        pts = proposal_target_spec(cfg, tspec, batch["image"].shape[0])
+        # BoxOutput emits continuous x2 = x1 + w; ProposalTarget expects the
+        # reference's inclusive convention (w = x2 - x1 + 1), adjust here.
+        boxes_incl = boxes.at[:, 2:].add(-1.0)
+        sample = PT.proposal_target(
+            k_pt, batch_idx, jax.lax.stop_gradient(boxes_incl),
+            valid, gt_flat, gt_valid_flat, pts)
+        cls_pred, bbox_pred = M.roi_head(
+            params, feats["conv4_3"], sample["batch_idx"], sample["rois"],
+            sample["valid"], cfg, train=True, dropout_key=k_drop)
+        cls_loss = L.softmax_ce_loss(cls_pred, sample["labels"],
+                                     valid=sample["valid"])
+        bbox_loss = L.smooth_l1_loss(
+            bbox_pred, sample["bbox_targets"], sample["inside_w"],
+            sample["outside_w"], sigma=tspec.smooth_l1_sigma)
+        total = total + tspec.cls_loss_weight * cls_loss \
+            + tspec.bbox_loss_weight * bbox_loss
+        metrics["loss_cls"] = cls_loss
+        metrics["loss_bbox"] = bbox_loss
+        if tspec.with_metrics:
+            metrics["cls_accuracy"] = L.roi_accuracy(
+                cls_pred, sample["labels"], sample["valid"])
+            post, pre = L.bbox_accuracy(
+                bbox_pred, sample["rois"], sample["match_gt"], sample["valid"],
+                bbox_mean=cfg.bbox_mean, bbox_std=cfg.bbox_std)
+            metrics["bbox_iou"] = post
+            metrics["bbox_iou_pre"] = pre
+
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
+                    lr_mults=None, decay_mults=None,
+                    mesh: Optional[Mesh] = None, donate: bool = True):
+    """Build the jitted train step.
+
+    Returns step(train_state, batch, key) -> (train_state, metrics) where
+    train_state = {"params": ..., "solver": ...}. With a mesh, the batch is
+    consumed sharded over the leading axis of every array in `batch` and the
+    params/solver state are fully replicated.
+    """
+
+    def grads_and_metrics(params, batch, key):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, key, cfg, tspec)
+        return grads, metrics
+
+    if mesh is None:
+        def step(train_state, batch, key):
+            grads, metrics = grads_and_metrics(
+                train_state["params"], batch, key)
+            params, sstate, lr = S.apply_update(
+                train_state["params"], grads, train_state["solver"], sspec,
+                lr_mults, decay_mults)
+            metrics["lr"] = lr
+            return {"params": params, "solver": sstate}, metrics
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=({"params": P(), "solver": P()}, P(axis), P()),
+        out_specs=({"params": P(), "solver": P()}, P()),
+        check_vma=False,
+    )
+    def sharded_step(train_state, batch, key):
+        # Decorrelate per-device sampling like the reference's per-worker
+        # seed offset (parallel.cpp:276-282).
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        grads, metrics = grads_and_metrics(train_state["params"], batch, key)
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        params, sstate, lr = S.apply_update(
+            train_state["params"], grads, train_state["solver"], sspec,
+            lr_mults, decay_mults)
+        metrics["lr"] = lr
+        return {"params": params, "solver": sstate}, metrics
+
+    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: M.MSCNNConfig, tspec: TrainSpec,
+                   mesh: Optional[Mesh] = None):
+    """Forward-only metric step (the solver's Test() loop body). Metric
+    values of -1 mark batches with no valid samples; Test-averaging skips
+    them (solver.cpp:368-394)."""
+    eval_tspec = dataclasses.replace(tspec, with_metrics=True)
+
+    def step(params, batch, key):
+        _, metrics = loss_fn(params, batch, key, cfg, eval_tspec)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(step)
+
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def sharded(params, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return jax.lax.pmean(step(params, batch, key), axis)
+
+    return jax.jit(sharded)
+
+
+def replicate_state(train_state, mesh: Mesh):
+    """Place params/solver state fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(train_state, sharding)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every leading axis of the batch pytree over the data axis."""
+    axis = mesh.axis_names[0]
+    return jax.device_put(batch, NamedSharding(mesh, P(axis)))

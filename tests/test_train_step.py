@@ -1,0 +1,143 @@
+"""End-to-end training-step tests on the tiny config: single-device loss
+descent, data-parallel shard_map equivalence of replicated state, and the
+eval step's -1 metric convention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mscnn_tpu.data import rasterize as R
+from mscnn_tpu.models import mscnn as M
+from mscnn_tpu.models import zoo
+from mscnn_tpu.parallel import data_parallel_mesh
+from mscnn_tpu.train import solver as S
+from mscnn_tpu.train import train_step as T
+
+
+def make_batch(cfg, batch=2, n_gt=3, seed=0):
+    """Synthetic batch: random images + random gts rasterized to label maps."""
+    rng = np.random.RandomState(seed)
+    h, w = cfg.input_hw
+    images = jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32)
+
+    spec = R.raster_spec_from_config(cfg)
+    gt_rows, valid_rows, labels_per_img = [], [], []
+    for b in range(batch):
+        x1 = rng.uniform(0, w * 0.5, n_gt)
+        y1 = rng.uniform(0, h * 0.5, n_gt)
+        bw = rng.uniform(12, 40, n_gt)
+        bh = rng.uniform(12, 40, n_gt)
+        lab = rng.randint(1, cfg.num_classes, n_gt)
+        gts6 = jnp.asarray(
+            np.stack([x1, y1, x1 + bw, y1 + bh, lab, np.zeros(n_gt)], -1),
+            jnp.float32)
+        gv = jnp.ones(n_gt, bool)
+        ronis = jnp.zeros((1, 4), jnp.float32)
+        rv = jnp.zeros(1, bool)
+        labels_per_img.append(R.rasterize_labels(gts6, gv, ronis, rv, spec))
+        gt_rows.append(np.stack(
+            [np.full(n_gt, b), x1, y1, x1 + bw, y1 + bh, lab,
+             np.zeros(n_gt)], -1))
+        valid_rows.append(np.ones(n_gt, bool))
+
+    labels = tuple(
+        jnp.stack([labels_per_img[b][s] for b in range(batch)])
+        for s in range(len(cfg.branches)))
+    return {
+        "image": images,
+        "labels": labels,
+        "gt_boxes": jnp.asarray(np.stack(gt_rows), jnp.float32),
+        "gt_valid": jnp.asarray(np.stack(valid_rows)),
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def test_single_device_stage2_descends(tiny):
+    cfg, params = tiny
+    tspec = T.TrainSpec(stage=2, roi_batch=32, with_metrics=False)
+    sspec = S.SolverSpec(type="sgd", base_lr=1e-3, lr_policy="fixed",
+                         momentum=0.9, weight_decay=5e-4)
+    step = T.make_train_step(cfg, tspec, sspec, donate=False)
+    batch = make_batch(cfg)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert float(metrics["lr"]) == pytest.approx(1e-3)
+
+
+def test_stage1_proposal_only(tiny):
+    cfg, params = tiny
+    tspec = T.TrainSpec(stage=1, sample_mode="random",
+                        pos_neg_weighted=False, with_metrics=True)
+    sspec = S.SolverSpec(base_lr=5e-5, lr_policy="fixed")
+    step = T.make_train_step(cfg, tspec, sspec, donate=False)
+    batch = make_batch(cfg)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert "loss_cls" not in metrics          # no roi stage
+    assert np.isfinite(float(metrics["loss"]))
+    assert "det_acc_0" in metrics
+
+
+def test_data_parallel_step_replicated(tiny):
+    cfg, params = tiny
+    mesh = data_parallel_mesh(8)
+    tspec = T.TrainSpec(stage=2, roi_batch=32, with_metrics=False)
+    sspec = S.SolverSpec(base_lr=1e-3, lr_policy="fixed", momentum=0.9)
+    step = T.make_train_step(cfg, tspec, sspec, mesh=mesh, donate=False)
+    batch = make_batch(cfg, batch=8)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    state = T.replicate_state(state, mesh)
+    batch = T.shard_batch(batch, mesh)
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # params must remain identical across devices (fully replicated update)
+    w = state["params"]["cls_pred"]["w"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    assert int(state["solver"]["it"]) == 1
+
+
+def test_lr_multipliers_freeze_trunk(tiny):
+    cfg, params = tiny
+    lr_mults = M.param_lr_multipliers(params, cfg)
+    decay_mults = M.param_decay_multipliers(params, cfg)
+    tspec = T.TrainSpec(stage=1, sample_mode="random",
+                        pos_neg_weighted=False, with_metrics=False)
+    sspec = S.SolverSpec(base_lr=1e-2, lr_policy="fixed", momentum=0.9)
+    step = T.make_train_step(cfg, tspec, sspec, lr_mults=lr_mults,
+                             decay_mults=decay_mults, donate=False)
+    batch = make_batch(cfg)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    new_state, _ = step(state, batch, jax.random.key(0))
+    # conv1_1 is frozen (lr_mult 0, decay_mult 0)
+    np.testing.assert_array_equal(
+        np.asarray(new_state["params"]["conv1_1"]["w"]),
+        np.asarray(params["conv1_1"]["w"]))
+    # conv3_1 trains
+    assert not np.array_equal(
+        np.asarray(new_state["params"]["conv3_1"]["w"]),
+        np.asarray(params["conv3_1"]["w"]))
+
+
+def test_eval_step(tiny):
+    cfg, params = tiny
+    tspec = T.TrainSpec(stage=2, roi_batch=32)
+    eval_step = T.make_eval_step(cfg, tspec)
+    batch = make_batch(cfg)
+    metrics = eval_step(params, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    for k in ("cls_accuracy", "bbox_iou", "det_acc_0"):
+        assert k in metrics
