@@ -1,0 +1,176 @@
+"""Batch assembly + background prefetch: the BasePrefetchingDataLayer analog.
+
+The reference prefetches 3 batches ahead on one background thread with
+free/full BlockingQueues and an async H2D stream
+(/root/reference/src/caffe/layers/base_data_layer.cpp:80-131). Here a small
+thread pool augments images with numpy/cv2, batches are padded to fixed gt /
+roni capacities (static shapes for jit), and `jax.device_put` overlaps the
+H2D copy with compute; per-scale label maps are rasterized ON DEVICE from
+the gt/roni boxes inside the train step, not on the prefetch thread.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from mscnn_tpu.data import augment as A
+from mscnn_tpu.data import window_file as W
+
+PREFETCH_COUNT = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    batch_size: int = 4
+    max_gts: int = 64            # fixed per-image gt capacity (pad + mask)
+    max_ronis: int = 16
+    fg_img_multiple: int = 1
+    shuffle: bool = True
+    seed: int = 1704             # solver_1st.prototxt random_seed
+
+
+def load_image(path: str) -> np.ndarray:
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"could not read image {path}")
+    return img
+
+
+def assemble_batch(samples, max_gts: int, max_ronis: int):
+    """Stack per-image augment outputs into one fixed-shape batch dict.
+
+    gt_boxes rows are (img_id, x1, y1, x2, y2, label, ignored) like the
+    reference's gt_boxes top (image_gt_data_layer.cpp:820-839).
+    """
+    b = len(samples)
+    images = np.stack([s[0] for s in samples])
+    gt_boxes = np.zeros((b, max_gts, 7), np.float32)
+    gt_valid = np.zeros((b, max_gts), bool)
+    ronis = np.zeros((b, max_ronis, 4), np.float32)
+    roni_valid = np.zeros((b, max_ronis), bool)
+    copy_region = np.zeros((b, 4), np.float32)
+    for i, (_, gts6, rn, region) in enumerate(samples):
+        g = min(gts6.shape[0], max_gts)
+        if g:
+            gt_boxes[i, :g, 0] = i
+            gt_boxes[i, :g, 1:5] = gts6[:g, 0:4]
+            gt_boxes[i, :g, 5] = gts6[:g, 4]
+            gt_boxes[i, :g, 6] = gts6[:g, 5]
+            gt_valid[i, :g] = True
+        r = min(rn.shape[0], max_ronis)
+        if r:
+            ronis[i, :r] = rn[:r]
+            roni_valid[i, :r] = True
+        copy_region[i] = region
+    return {
+        "image": images,
+        "gt_boxes": gt_boxes,
+        "gt_valid": gt_valid,
+        "ronis": ronis,
+        "roni_valid": roni_valid,
+        "copy_region": copy_region,
+    }
+
+
+class MSCNNDataset:
+    """Epoch-shuffled window-file dataset producing augmented host batches."""
+
+    def __init__(self, images: Sequence[W.WindowImage], aug: A.AugmentSpec,
+                 spec: DatasetSpec, image_loader=load_image):
+        self.images = list(images)
+        self.aug = aug
+        self.spec = spec
+        self.loader = image_loader
+        self.rng = np.random.RandomState(spec.seed)
+        self.index_list = W.build_image_list(self.images, spec.fg_img_multiple)
+        self._order = None
+        self._pos = 0
+
+    def _next_index(self) -> int:
+        if self._order is None or self._pos >= len(self._order):
+            self._order = (self.rng.permutation(len(self.index_list))
+                           if self.spec.shuffle
+                           else np.arange(len(self.index_list)))
+            self._pos = 0
+        idx = self.index_list[self._order[self._pos]]
+        self._pos += 1
+        return int(idx)
+
+    def sample(self):
+        im = self.images[self._next_index()]
+        img = self.loader(im.path)
+        return A.augment(self.rng, img, im.gts, im.ronis, self.aug)
+
+    def next_batch(self) -> dict:
+        samples = [self.sample() for _ in range(self.spec.batch_size)]
+        return assemble_batch(samples, self.spec.max_gts, self.spec.max_ronis)
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            yield self.next_batch()
+
+
+class Prefetcher:
+    """Bounded-queue background prefetch (the BlockingQueue free/full pair
+    collapses to one bounded queue; device transfer overlaps via device_put).
+    """
+
+    def __init__(self, dataset: MSCNNDataset, depth: int = PREFETCH_COUNT,
+                 device_put=None):
+        self.dataset = dataset
+        self.queue: queue.Queue = queue.Queue(maxsize=depth)
+        self.device_put = device_put
+        self._stop = threading.Event()
+        self._exc: Optional[BaseException] = None
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        try:
+            while not self._stop.is_set():
+                batch = self.dataset.next_batch()
+                if self.device_put is not None:
+                    batch = self.device_put(batch)
+                while not self._stop.is_set():
+                    try:
+                        self.queue.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surfaced on the consumer side
+            self._exc = e
+
+    def get(self, timeout: Optional[float] = 60.0) -> dict:
+        while True:
+            if self._exc is not None:
+                raise self._exc
+            try:
+                return self.queue.get(timeout=0.5 if timeout else None)
+            except queue.Empty:
+                if timeout is not None:
+                    timeout -= 0.5
+                    if timeout <= 0:
+                        raise TimeoutError("prefetch queue starved")
+
+    def close(self):
+        self._stop.set()
+        self.thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def dataset_from_window_file(path: str, aug: A.AugmentSpec,
+                             spec: DatasetSpec, root_folder: str = "",
+                             image_loader=load_image) -> MSCNNDataset:
+    return MSCNNDataset(W.parse_window_file(path, root_folder), aug, spec,
+                        image_loader)

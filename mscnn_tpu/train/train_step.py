@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mscnn_tpu.data import rasterize as RZ
 from mscnn_tpu.models import mscnn as M
 from mscnn_tpu.ops import losses as L
 from mscnn_tpu.ops import proposal_target as PT
@@ -85,6 +86,22 @@ def proposal_target_spec(cfg: M.MSCNNConfig, tspec: TrainSpec,
     )
 
 
+def rasterize_batch(batch, cfg: M.MSCNNConfig, tspec: TrainSpec):
+    """On-device per-scale label rasterization from the batch's gt/roni
+    boxes — replaces the reference's prefetch-thread C++ label loop
+    (image_gt_data_layer.cpp:640-744) with vectorized jnp under jit."""
+    rspec = RZ.raster_spec_from_config(cfg, fg_threshold=tspec.fg_threshold)
+
+    def one(gt7, gtv, ronis, roniv, region):
+        gts6 = jnp.concatenate([gt7[:, 1:5], gt7[:, 5:6], gt7[:, 6:7]], -1)
+        return tuple(RZ.rasterize_labels(gts6, gtv, ronis, roniv, rspec,
+                                         copy_region=region))
+
+    return jax.vmap(one)(batch["gt_boxes"], batch["gt_valid"],
+                         batch["ronis"], batch["roni_valid"],
+                         batch["copy_region"])
+
+
 def _flatten_gts(gt_boxes, gt_valid):
     """[B, G, 7] per-image gts -> flat [B*G, 7] with batch-index column."""
     b, g, _ = gt_boxes.shape
@@ -100,9 +117,15 @@ def loss_fn(params, batch, key, cfg: M.MSCNNConfig, tspec: TrainSpec):
              "labels": tuple of per-scale [B, h, w, 6] maps,
              "gt_boxes": [B, G, 7] (img_id, x1, y1, x2, y2, label, ignored),
              "gt_valid": [B, G] bool}.
+    When "labels" is absent the maps are rasterized on device from
+    gt_boxes/ronis/copy_region (see rasterize_batch).
     """
     specs = branch_loss_specs(cfg, tspec)
     k_det, k_pt, k_drop = jax.random.split(key, 3)
+
+    labels = batch.get("labels")
+    if labels is None:
+        labels = rasterize_batch(batch, cfg, tspec)
 
     feats = M.trunk(params, batch["image"], cfg)
     outs = M.heads(params, feats, cfg)
@@ -110,7 +133,7 @@ def loss_fn(params, batch, key, cfg: M.MSCNNConfig, tspec: TrainSpec):
     total = 0.0
     metrics = {}
     det_keys = jax.random.split(k_det, len(outs))
-    for i, (out, lab, spec) in enumerate(zip(outs, batch["labels"], specs)):
+    for i, (out, lab, spec) in enumerate(zip(outs, labels, specs)):
         li, aux = L.detection_loss(out, lab, spec, key=det_keys[i])
         total = total + tspec.branch_loss_weight * li
         metrics[f"det_loss_{i}"] = li
