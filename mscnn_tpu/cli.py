@@ -1,0 +1,247 @@
+"""Command-line interface: the `caffe <command>` equivalent.
+
+Mirrors /root/reference/tools/caffe.cpp:424-453 (train / test / time /
+device_query, flags -solver -model -weights -snapshot -gpu -iterations) with
+TPU-native semantics: --devices picks the data-parallel mesh width, configs
+are the same prototxt files the reference zoo ships, and `train2` runs the
+two-step MS-CNN schedule (train_mscnn.sh) in one invocation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build_training(args, solver_path):
+    from mscnn_tpu.config import zoo_import as Z
+    from mscnn_tpu.config import prototxt as PB
+    from mscnn_tpu.data import pipeline as P
+    from mscnn_tpu.io import checkpoint as CKPT
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.parallel import data_parallel_mesh
+    from mscnn_tpu.train import loop as LP
+    from mscnn_tpu.train import solver as S
+    from mscnn_tpu.train import train_step as T
+
+    import os
+    fields = PB.parse_prototxt_file(solver_path)
+    sspec = S.spec_from_prototxt_fields(fields)
+    lspec = LP.loop_spec_from_solver_fields(
+        fields, snapshot_prefix=args.snapshot_prefix)
+    net_path = args.model or os.path.join(
+        os.path.dirname(solver_path), str(fields["net"]))
+
+    cfg, tspec, aug, dspec, source = Z.model_from_prototxt(net_path)
+    if args.batch_size:
+        dspec = dataclasses.replace(dspec, batch_size=args.batch_size)
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+
+    window_file = args.window_file or os.path.join(
+        os.path.dirname(net_path), source)
+    dataset = P.dataset_from_window_file(
+        window_file, aug, dspec, root_folder=args.root_folder)
+
+    mesh = None
+    if args.devices > 1:
+        mesh = data_parallel_mesh(args.devices)
+        if dspec.batch_size % args.devices:
+            raise SystemExit(
+                f"batch_size {dspec.batch_size} not divisible by "
+                f"{args.devices} devices")
+
+    params = M.init_params(jax.random.key(int(fields.get("random_seed", 0))),
+                           cfg)
+    if args.weights:
+        params = CKPT.restore_params(args.weights, params)
+
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    if args.snapshot:
+        state = CKPT.restore(args.snapshot, state)
+
+    step = T.make_train_step(
+        cfg, tspec, sspec,
+        lr_mults=M.param_lr_multipliers(params, cfg),
+        decay_mults=M.param_decay_multipliers(params, cfg),
+        mesh=mesh)
+
+    def device_put(batch):
+        batch = jax.tree.map(jnp.asarray, batch)
+        return T.shard_batch(batch, mesh) if mesh is not None else batch
+
+    if mesh is not None:
+        state = T.replicate_state(state, mesh)
+
+    return state, step, dataset, device_put, lspec, cfg, tspec, mesh
+
+
+def cmd_train(args):
+    from mscnn_tpu.data import pipeline as P
+    from mscnn_tpu.train import loop as LP
+
+    state, step, dataset, device_put, lspec, cfg, tspec, mesh = \
+        _build_training(args, args.solver)
+    if args.iterations:
+        lspec = dataclasses.replace(lspec, max_iter=args.iterations)
+    with P.Prefetcher(dataset, device_put=device_put) as pf:
+        LP.solve(step, state, pf.get, lspec, key=jax.random.key(args.seed))
+    print("Optimization Done.")
+    return 0
+
+
+def cmd_train2(args):
+    """Two-step schedule (train_mscnn.sh): stage 1, then stage 2 warm-started
+    from stage 1's final snapshot."""
+    from mscnn_tpu.io import checkpoint as CKPT
+
+    a1 = argparse.Namespace(**vars(args))
+    a1.solver = args.solver1
+    a1.snapshot = None
+    rc = cmd_train(a1)
+    if rc:
+        return rc
+
+    from mscnn_tpu.config import prototxt as PB
+    fields = PB.parse_prototxt_file(args.solver1)
+    prefix = args.snapshot_prefix or str(fields.get("snapshot_prefix", "mscnn"))
+    stage1_ckpt = CKPT.latest_snapshot(prefix)
+    if stage1_ckpt is None:
+        raise SystemExit("stage-1 snapshot not found")
+
+    a2 = argparse.Namespace(**vars(args))
+    a2.solver = args.solver2
+    a2.weights = stage1_ckpt
+    a2.snapshot = None
+    return cmd_train(a2)
+
+
+def cmd_test(args):
+    """Forward-only metric evaluation over --iterations batches."""
+    from mscnn_tpu.data import pipeline as P
+    from mscnn_tpu.train import loop as LP
+    from mscnn_tpu.train import train_step as T
+
+    state, _, dataset, device_put, lspec, cfg, tspec, mesh = \
+        _build_training(args, args.solver)
+    eval_step = T.make_eval_step(cfg, tspec, mesh=mesh)
+    n = args.iterations or lspec.test_iter or 50
+    with P.Prefetcher(dataset, device_put=device_put) as pf:
+        out = LP.test_eval(eval_step, state["params"],
+                           (pf.get() for _ in range(n)),
+                           jax.random.key(args.seed))
+    print(json.dumps({k: round(v, 6) for k, v in out.items()}))
+    return 0
+
+
+def cmd_time(args):
+    """Per-stage wall times (the `caffe time` analog): data, forward,
+    forward+backward+update."""
+    from mscnn_tpu.train import train_step as T
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+    from mscnn_tpu.train import solver as S
+    from mscnn_tpu.config import zoo_import as Z
+
+    if args.model:
+        cfg, tspec, _, _, _ = Z.model_from_prototxt(args.model)
+    else:
+        cfg = zoo.get(args.zoo or "kitti_car/mscnn-7s-576-2x")
+        tspec = T.TrainSpec()
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    b = args.batch_size or 4
+    h, w = cfg.input_hw
+    params = M.init_params(jax.random.key(0), cfg)
+
+    fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))
+    sspec = S.SolverSpec()
+    step = T.make_train_step(cfg, tspec, sspec, donate=False)
+
+    from mscnn_tpu.data.synthetic import make_batch
+    batch = make_batch(cfg, batch=b)
+    images = batch["image"]
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+
+    def bench(fn, *fargs, iters=args.iterations or 10):
+        jax.block_until_ready(fn(*fargs))  # compile
+        t0 = _time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*fargs)
+        jax.block_until_ready(out)
+        return (_time.perf_counter() - t0) / iters * 1e3
+
+    fwd_ms = bench(fwd, params, images)
+    step_ms = bench(lambda s: step(s, batch, jax.random.key(0))[1], state)
+    print(f"Average Forward pass: {fwd_ms:.2f} ms ({b} images)")
+    print(f"Average Forward-Backward-Update: {step_ms:.2f} ms")
+    print(f"Throughput: {b / (step_ms / 1e3):.2f} train img/s, "
+          f"{b / (fwd_ms / 1e3):.2f} infer img/s")
+    return 0
+
+
+def cmd_device_query(args):
+    for i, d in enumerate(jax.devices()):
+        print(f"Device {i}: {d.device_kind} ({d.platform}), "
+              f"process {d.process_index}")
+    return 0
+
+
+def _add_common(p):
+    p.add_argument("--model", help="trainval prototxt (overrides solver's net:)")
+    p.add_argument("--weights", help="checkpoint to warm-start params from")
+    p.add_argument("--snapshot", help="checkpoint to resume full state from")
+    p.add_argument("--snapshot-prefix", default=None)
+    p.add_argument("--window-file", help="override the net's data source path")
+    p.add_argument("--root-folder", default="", help="image path prefix")
+    p.add_argument("--devices", type=int, default=1,
+                   help="data-parallel mesh width")
+    p.add_argument("--iterations", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--zoo", help="built-in zoo config name (cmd_time)")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="mscnn", description="TPU-native MS-CNN framework CLI")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a model from a solver prototxt")
+    p_train.add_argument("--solver", required=True)
+    _add_common(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_train2 = sub.add_parser("train2", help="two-step MS-CNN schedule")
+    p_train2.add_argument("--solver1", required=True)
+    p_train2.add_argument("--solver2", required=True)
+    _add_common(p_train2)
+    p_train2.set_defaults(fn=cmd_train2)
+
+    p_test = sub.add_parser("test", help="evaluate metrics on the TEST config")
+    p_test.add_argument("--solver", required=True)
+    _add_common(p_test)
+    p_test.set_defaults(fn=cmd_test)
+
+    p_time = sub.add_parser("time", help="benchmark fwd / fwd-bwd times")
+    _add_common(p_time)
+    p_time.set_defaults(fn=cmd_time)
+
+    p_dq = sub.add_parser("device_query", help="list accelerator devices")
+    p_dq.set_defaults(fn=cmd_device_query)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+"""Checkpoint / resume / warm-start (the Snapshot-Restore-CopyTrainedLayers
+triple).
+
+The reference snapshots `<prefix>_iter_N.caffemodel` (weights) +
+`.solverstate` (iter, momentum history) and resumes via `Solver::Restore`
+(/root/reference/src/caffe/solver.cpp:421-506); finetuning copies
+layer-name-matched weights (`Net::CopyTrainedLayersFrom`, net.cpp:750-786).
+Here both live in one orbax checkpoint of the train-state pytree
+{"params": ..., "solver": {"it", "h1"[, "h2"]}}, saved asynchronously and
+restored sharding-aware; warm-start is a name-matched pytree merge with the
+same silent-skip semantics for missing layers and a shape check for
+present ones.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _path(prefix: str, it: int) -> str:
+    return os.path.abspath(f"{prefix}_iter_{it}")
+
+
+def snapshot(prefix: str, train_state, it: Optional[int] = None) -> str:
+    """Write `<prefix>_iter_N` (N from the solver state unless given)."""
+    if it is None:
+        it = int(jax.device_get(train_state["solver"]["it"]))
+    path = _path(prefix, it)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, train_state, force=True)
+    return path
+
+
+def restore(path: str, template_state):
+    """Restore a full train state (params + solver history + iter)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), template_state)
+
+
+def restore_params(path: str, template_params):
+    """Restore only the params subtree of a snapshot (for eval/deploy)."""
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    return copy_trained_layers(template_params, restored["params"])
+
+
+def copy_trained_layers(params, source, *, strict: bool = False):
+    """Name-matched weight copy (CopyTrainedLayersFrom): layers present in
+    both pytrees are taken from `source` when shapes agree; everything else
+    keeps the target's values. With strict=True a shape mismatch raises
+    (the reference CHECKs blob shapes, net.cpp:771-780)."""
+    out = {}
+    for name, leaf in params.items():
+        if name not in source:
+            out[name] = leaf
+            continue
+        src = source[name]
+        if isinstance(leaf, dict):
+            out[name] = copy_trained_layers(leaf, src, strict=strict)
+        else:
+            if np.shape(src) != np.shape(leaf):
+                if strict:
+                    raise ValueError(
+                        f"shape mismatch for {name!r}: "
+                        f"{np.shape(src)} vs {np.shape(leaf)}")
+                out[name] = leaf
+            else:
+                out[name] = jax.numpy.asarray(src, leaf.dtype)
+    return out
+
+
+def latest_snapshot(prefix: str) -> Optional[str]:
+    """Find the newest `<prefix>_iter_N` directory, or None."""
+    d, base = os.path.split(os.path.abspath(prefix))
+    if not os.path.isdir(d):
+        return None
+    best_it, best = -1, None
+    for name in os.listdir(d):
+        if name.startswith(base + "_iter_"):
+            try:
+                it = int(name[len(base) + 6:])
+            except ValueError:
+                continue
+            if it > best_it:
+                best_it, best = it, os.path.join(d, name)
+    return best

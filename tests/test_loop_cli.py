@@ -1,0 +1,199 @@
+"""Training-loop mechanics (display, test-eval -1 skipping, snapshots,
+signals) and the full CLI surface driven end-to-end on a tiny prototxt-
+defined model with a real on-disk dataset."""
+
+import os
+import signal
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mscnn_tpu.io import checkpoint as CKPT
+from mscnn_tpu.train import loop as LP
+
+
+# ---------------------------------------------------------------------------
+# loop mechanics with a stub step function
+# ---------------------------------------------------------------------------
+
+def fake_state(it=0):
+    return {"params": {"w": jnp.zeros(2)},
+            "solver": {"it": jnp.asarray(it, jnp.int32),
+                       "h1": {"w": jnp.zeros(2)}}}
+
+
+def fake_step(state, batch, key):
+    it = state["solver"]["it"]
+    new = {"params": state["params"],
+           "solver": {"it": it + 1, "h1": state["solver"]["h1"]}}
+    return new, {"loss": 10.0 / (1.0 + it), "lr": jnp.asarray(0.1)}
+
+
+def test_solve_runs_and_snapshots(tmp_path):
+    logs = []
+    spec = LP.LoopSpec(max_iter=5, display=1, snapshot=2,
+                       snapshot_prefix=str(tmp_path / "snap"))
+    state = LP.solve(fake_step, fake_state(), lambda: {}, spec,
+                     log=logs.append)
+    assert int(state["solver"]["it"]) == 5
+    # periodic snapshots at 2, 4 and the final one at 5
+    for it in (2, 4, 5):
+        assert os.path.isdir(str(tmp_path / f"snap_iter_{it}"))
+    assert any("Iteration 0" in l for l in logs)
+    assert any("loss" in l for l in logs)
+
+
+def test_solve_resumes_from_state_iter(tmp_path):
+    spec = LP.LoopSpec(max_iter=4, display=0,
+                       snapshot_prefix=str(tmp_path / "s"))
+    calls = []
+
+    def step(state, batch, key):
+        calls.append(int(state["solver"]["it"]))
+        return fake_step(state, batch, key)
+
+    LP.solve(step, fake_state(it=2), lambda: {}, spec)
+    assert calls == [2, 3]
+
+
+def test_solve_sigint_stops(tmp_path):
+    spec = LP.LoopSpec(max_iter=100, display=0, sigint_effect="stop",
+                       snapshot_prefix=str(tmp_path / "sig"))
+    hits = []
+
+    def step(state, batch, key):
+        hits.append(1)
+        if len(hits) == 3:
+            os.kill(os.getpid(), signal.SIGINT)
+        return fake_step(state, batch, key)
+
+    state = LP.solve(step, fake_state(), lambda: {}, spec)
+    assert len(hits) == 3
+    assert int(state["solver"]["it"]) == 3
+
+
+def test_test_eval_skips_negative_metrics():
+    outs = iter([
+        {"accuracy": jnp.asarray(-1.0), "loss": jnp.asarray(2.0)},
+        {"accuracy": jnp.asarray(0.5), "loss": jnp.asarray(4.0)},
+    ])
+
+    def eval_step(params, batch, key):
+        return next(outs)
+
+    out = LP.test_eval(eval_step, {}, [{}, {}], jax.random.key(0))
+    assert out["accuracy"] == pytest.approx(0.5)   # -1 excluded from mean
+    assert out["loss"] == pytest.approx(3.0)       # losses always averaged
+
+
+# ---------------------------------------------------------------------------
+# CLI end-to-end on a tiny prototxt model + on-disk dataset
+# ---------------------------------------------------------------------------
+
+TINY_TRAINVAL = """
+name: "tiny"
+layer {{
+  name: "data" type: "ImageGtData"
+  include {{ phase: TRAIN }}
+  transform_param {{ mirror: true mean_value: 104 mean_value: 117 mean_value: 123 }}
+  image_gt_data_param {{
+    source: "{source}"
+    batch_size: 2
+    crop_width: 96 crop_height: 64
+    downsample_rate: 8 downsample_rate: 16
+    field_w: 24 field_w: 48
+    field_h: 24 field_h: 48
+    fg_threshold: 0.5
+    shuffle: true
+  }}
+}}
+layer {{ name: "LFCN_1_5x5" type: "Convolution" bottom: "loss1_conv1"
+  convolution_param {{ kernel_size: 5 num_output: 7 }} }}
+layer {{ name: "LFCN_2_5x5" type: "Convolution" bottom: "conv5_3"
+  convolution_param {{ kernel_size: 5 num_output: 7 }} }}
+layer {{ name: "det_loss_1" type: "DetectionLoss" bottom: "LFCN_1_5x5"
+  loss_weight: 0.9
+  detection_loss_param {{
+    cls_num: 3 bg_threshold: 0.2 bg_multiple: 2
+    sample_mode: "bootstrap" pos_neg_weighted: true
+  }} }}
+layer {{ name: "proposals" type: "BoxOutput"
+  bottom: "LFCN_1_5x5" bottom: "LFCN_2_5x5"
+  box_output_param {{
+    fg_thr: -8 iou_thr: 0.65 nms_type: "IOU" max_nms_num: 64
+    field_w: 24 field_w: 48 field_h: 24 field_h: 48
+    downsample_rate: 8 downsample_rate: 16
+  }} }}
+layer {{ name: "proposal_info" type: "ProposalTarget"
+  include {{ phase: TRAIN }}
+  proposal_target_param {{
+    cls_num: 3 batch_size: 16 fg_fraction: 0.25
+    fg_thr: 0.5 bg_thr_hg: 0.49 bg_thr_lw: 0.1
+    img_width: 96 img_height: 64
+  }}
+  bbox_reg_param {{
+    bbox_mean: 0 bbox_mean: 0 bbox_mean: 0 bbox_mean: 0
+    bbox_std: 0.1 bbox_std: 0.1 bbox_std: 0.2 bbox_std: 0.2
+  }} }}
+"""
+
+TINY_SOLVER = """
+net: "{net}"
+base_lr: 0.00005
+lr_policy: "step"
+gamma: 0.1
+stepsize: 100
+display: 1
+max_iter: 2
+momentum: 0.9
+weight_decay: 0.0005
+snapshot_prefix: "{prefix}"
+random_seed: 7
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    from mscnn_tpu.data import window_file as W
+    root = tmp_path_factory.mktemp("cli_data")
+    rng = np.random.RandomState(0)
+    images = []
+    for i in range(4):
+        img = rng.randint(0, 120, (64, 96, 3)).astype(np.uint8)
+        img[20:44, 30:58] = 240
+        path = str(root / f"im_{i}.png")
+        assert cv2.imwrite(path, img)
+        gts = np.array([[1, 0, 30, 20, 58, 44]], np.float32)
+        images.append(W.WindowImage(path, 3, 64, 96, gts,
+                                    np.zeros((0, 4), np.float32)))
+    wf = str(root / "windows.txt")
+    W.write_window_file(wf, images)
+    net = str(root / "trainval.prototxt")
+    with open(net, "w") as f:
+        f.write(TINY_TRAINVAL.format(source=wf))
+    return root, net, wf
+
+
+def test_cli_train_end_to_end(tiny_dataset, tmp_path):
+    from mscnn_tpu import cli
+    root, net, wf = tiny_dataset
+    prefix = str(tmp_path / "cli_snap")
+    solver = str(tmp_path / "solver.prototxt")
+    with open(solver, "w") as f:
+        f.write(TINY_SOLVER.format(net=net.replace("\\", "/"), prefix=prefix))
+
+    rc = cli.main(["train", "--solver", solver,
+                   "--snapshot-prefix", prefix])
+    assert rc == 0
+    final = CKPT.latest_snapshot(prefix)
+    assert final is not None and final.endswith("_iter_2")
+
+
+def test_cli_device_query(capsys):
+    from mscnn_tpu import cli
+    assert cli.main(["device_query"]) == 0
+    out = capsys.readouterr().out
+    assert "Device 0" in out

@@ -97,8 +97,13 @@ def test_param_lr_multipliers(tiny):
     cfg, params = tiny
     mults = M.param_lr_multipliers(params, cfg)
     assert mults["conv4_3_2x"]["w"] == 0.0
-    assert mults["conv1_1"]["b"] == 2.0
-    assert mults["conv1_1"]["w"] == 1.0
+    # conv1/conv2 are frozen, VGG conv3-5 keep default 1x for w and b,
+    # new layers get the 2x bias rate (trainval_2nd.prototxt param blocks)
+    assert mults["conv1_1"]["w"] == 0.0 and mults["conv1_1"]["b"] == 0.0
+    assert mults["conv3_1"]["w"] == 1.0 and mults["conv3_1"]["b"] == 1.0
+    assert mults["fc6"]["w"] == 1.0 and mults["fc6"]["b"] == 2.0
+    decays = M.param_decay_multipliers(params, cfg)
+    assert decays["conv1_1"]["w"] == 0.0 and decays["fc6"]["w"] == 1.0
     assert jax.tree.structure(mults) == jax.tree.structure(params)
 
 

@@ -15,41 +15,7 @@ from mscnn_tpu.train import solver as S
 from mscnn_tpu.train import train_step as T
 
 
-def make_batch(cfg, batch=2, n_gt=3, seed=0):
-    """Synthetic batch: random images + random gts rasterized to label maps."""
-    rng = np.random.RandomState(seed)
-    h, w = cfg.input_hw
-    images = jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32)
-
-    spec = R.raster_spec_from_config(cfg)
-    gt_rows, valid_rows, labels_per_img = [], [], []
-    for b in range(batch):
-        x1 = rng.uniform(0, w * 0.5, n_gt)
-        y1 = rng.uniform(0, h * 0.5, n_gt)
-        bw = rng.uniform(12, 40, n_gt)
-        bh = rng.uniform(12, 40, n_gt)
-        lab = rng.randint(1, cfg.num_classes, n_gt)
-        gts6 = jnp.asarray(
-            np.stack([x1, y1, x1 + bw, y1 + bh, lab, np.zeros(n_gt)], -1),
-            jnp.float32)
-        gv = jnp.ones(n_gt, bool)
-        ronis = jnp.zeros((1, 4), jnp.float32)
-        rv = jnp.zeros(1, bool)
-        labels_per_img.append(R.rasterize_labels(gts6, gv, ronis, rv, spec))
-        gt_rows.append(np.stack(
-            [np.full(n_gt, b), x1, y1, x1 + bw, y1 + bh, lab,
-             np.zeros(n_gt)], -1))
-        valid_rows.append(np.ones(n_gt, bool))
-
-    labels = tuple(
-        jnp.stack([labels_per_img[b][s] for b in range(batch)])
-        for s in range(len(cfg.branches)))
-    return {
-        "image": images,
-        "labels": labels,
-        "gt_boxes": jnp.asarray(np.stack(gt_rows), jnp.float32),
-        "gt_valid": jnp.asarray(np.stack(valid_rows)),
-    }
+from mscnn_tpu.data.synthetic import make_batch  # noqa: E402
 
 
 @pytest.fixture(scope="module")
