@@ -188,6 +188,79 @@ def cmd_time(args):
     return 0
 
 
+def cmd_detect(args):
+    """Batch detection over an image directory -> KITTI label files
+    (the run_mscnn_detection.m + writeDetForEval.m pipeline)."""
+    import glob
+    import os
+
+    import cv2
+
+    from mscnn_tpu import inference as I
+    from mscnn_tpu.config import zoo_import as Z
+    from mscnn_tpu.io import checkpoint as CKPT
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    if args.model:
+        cfg = Z.deploy_model_from_prototxt(args.model)
+    else:
+        cfg = zoo.get(args.zoo or "kitti_car/mscnn-7s-576-2x", deploy=True)
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+
+    params = M.init_params(jax.random.key(0), cfg)
+    if args.weights:
+        params = CKPT.restore_params(args.weights, params)
+
+    names = args.class_names.split(",") if args.class_names else \
+        I.KITTI_CLASS_NAMES["kitti_car"][: cfg.num_classes]
+    spec = I.DetectSpec(score_thr=args.score_thr)
+    fwd = I.make_forward(params, cfg)
+
+    paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")) +
+                   glob.glob(os.path.join(args.image_dir, "*.jpg")))
+    if args.iterations:
+        paths = paths[: args.iterations]
+    t0 = _time.perf_counter()
+    for i, path in enumerate(paths):
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        det = I.detect(params, img, cfg, spec, fwd=fwd)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        try:
+            img_idx = int(stem)
+        except ValueError:
+            img_idx = i
+        I.write_kitti_labels(I.detections_to_kitti(det, names),
+                             args.output_dir, img_idx)
+        if (i + 1) % 100 == 0:
+            avg = (_time.perf_counter() - t0) / (i + 1)
+            print(f"idx {i + 1}/{len(paths)}, avgtime={avg:.4f}s")
+    n = max(len(paths), 1)
+    print(f"Done: {len(paths)} images, "
+          f"{(_time.perf_counter() - t0) / n:.4f} s/img, "
+          f"labels in {args.output_dir}")
+    return 0
+
+
+def cmd_eval(args):
+    """KITTI AP scoring of a detection result dir against gt labels."""
+    from mscnn_tpu.evaluation import kitti_eval as KE
+
+    if args.image_set:
+        ids = [int(l) for l in open(args.image_set).read().split()]
+    else:
+        import glob
+        import os
+        ids = sorted(int(os.path.splitext(os.path.basename(p))[0])
+                     for p in glob.glob(os.path.join(args.gt_dir, "*.txt")))
+    classes = (args.class_names or "car").split(",")
+    out = KE.evaluate(args.gt_dir, args.result_dir, ids, classes=classes)
+    print(json.dumps({c: {k: round(v, 2) for k, v in d.items()}
+                      for c, d in out.items()}))
+    return 0
+
+
 def cmd_device_query(args):
     for i, d in enumerate(jax.devices()):
         print(f"Device {i}: {d.device_kind} ({d.platform}), "
@@ -235,6 +308,22 @@ def main(argv=None):
     p_time = sub.add_parser("time", help="benchmark fwd / fwd-bwd times")
     _add_common(p_time)
     p_time.set_defaults(fn=cmd_time)
+
+    p_det = sub.add_parser("detect", help="run detection over an image dir")
+    p_det.add_argument("--image-dir", required=True)
+    p_det.add_argument("--output-dir", required=True)
+    p_det.add_argument("--class-names",
+                       help="comma list incl. bg, e.g. bg,Car,Van,Truck,Tram")
+    p_det.add_argument("--score-thr", type=float, default=0.0)
+    _add_common(p_det)
+    p_det.set_defaults(fn=cmd_detect)
+
+    p_eval = sub.add_parser("eval", help="KITTI AP scoring")
+    p_eval.add_argument("--gt-dir", required=True)
+    p_eval.add_argument("--result-dir", required=True)
+    p_eval.add_argument("--image-set", help="file of image ids, one per line")
+    p_eval.add_argument("--class-names", default="car")
+    p_eval.set_defaults(fn=cmd_eval)
 
     p_dq = sub.add_parser("device_query", help="list accelerator devices")
     p_dq.set_defaults(fn=cmd_device_query)

@@ -1,0 +1,192 @@
+"""Deploy-time detection: post-processing + KITTI-format output.
+
+On-device, fixed-shape re-formulation of the reference's MATLAB driver
+(/root/reference/examples/kitti_car/run_mscnn_detection.m:59-162): proposal
+filtering, per-class softmax scoring, bbox de-normalization and decode around
+the proposal, rescale to the original image, clip, greedy per-class NMS
+(utils/bbNms.m type 'maxg', union overlap), then KITTI txt writers
+(examples/kitti_result/writeDetForEval.m). Everything through NMS runs under
+one jit; only the final text I/O touches the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mscnn_tpu.models import mscnn as M
+from mscnn_tpu.ops import nms as nms_ops
+
+KITTI_CLASS_NAMES = {
+    "kitti_car": ("bg", "Car", "Van", "Truck", "Tram"),
+    "kitti_ped_cyc": ("bg", "Pedestrian", "Cyclist"),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectSpec:
+    """Post-processing parameters (run_mscnn_detection.m:42-52)."""
+    proposal_thr: float = -10.0
+    nms_overlap: float = 0.5
+    nms_mode: str = "iou"          # 'union' denominator
+    max_per_class: int = 100       # fixed per-class output capacity
+    score_thr: float = 0.0         # final report threshold (0 = keep all)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec"))
+def postprocess(outputs, ratios, orig_wh, cfg: M.MSCNNConfig,
+                spec: DetectSpec):
+    """Decode + per-class NMS for one image's deploy_forward outputs.
+
+    outputs: dict from M.deploy_forward for a single image (R rois).
+    ratios: [2] (ratio_h, ratio_w) = net_input / original.
+    orig_wh: [2] (orig_w, orig_h) floats.
+    Returns (boxes [C-1, K, 4] xywh in ORIGINAL image coords, scores
+    [C-1, K], valid [C-1, K]).
+    """
+    rois = outputs["rois"]             # [R, 4] corners, net-input coords
+    cls_pred = outputs["cls_pred"]     # [R, C]
+    bbox_pred = outputs["bbox_pred"]   # [R, 4C]
+    pscore = outputs["roi_scores"]
+    valid = outputs["roi_valid"]
+
+    pw = rois[:, 2] - rois[:, 0]
+    ph = rois[:, 3] - rois[:, 1]
+    # bad-proposal filter (zero size or low objectness, .m:81-83)
+    valid = valid & (pscore >= spec.proposal_thr) & (pw != 0) & (ph != 0)
+
+    prob = jax.nn.softmax(cls_pred, axis=-1)
+    mean = jnp.asarray(cfg.bbox_mean)
+    std = jnp.asarray(cfg.bbox_std)
+    ctr_x = rois[:, 0] + 0.5 * pw
+    ctr_y = rois[:, 1] + 0.5 * ph
+
+    ratio_h, ratio_w = ratios[0], ratios[1]
+    orig_w, orig_h = orig_wh[0], orig_wh[1]
+
+    def one_class(k):
+        bp = jax.lax.dynamic_slice_in_dim(bbox_pred, 4 * k, 4, axis=1)
+        bp = bp * std + mean
+        tx = bp[:, 0] * pw + ctr_x
+        ty = bp[:, 1] * ph + ctr_y
+        tw = pw * jnp.exp(bp[:, 2])
+        th = ph * jnp.exp(bp[:, 3])
+        tx = (tx - tw / 2.0) / ratio_w
+        ty = (ty - th / 2.0) / ratio_h
+        tw = tw / ratio_w
+        th = th / ratio_h
+        tx = jnp.maximum(tx, 0.0)
+        ty = jnp.maximum(ty, 0.0)
+        tw = jnp.minimum(tw, orig_w - tx)
+        th = jnp.minimum(th, orig_h - ty)
+        boxes = jnp.stack([tx, ty, tw, th], -1)
+        scores = prob[:, k]
+        b, s, v = nms_ops.nms_xywh(
+            boxes, jnp.where(valid, scores, 0.0), valid,
+            iou_thr=spec.nms_overlap, mode=spec.nms_mode,
+            max_out=spec.max_per_class)
+        v = v & (s >= spec.score_thr) if spec.score_thr > 0 else v
+        return b, s, v
+
+    results = [one_class(k) for k in range(1, cfg.num_classes)]
+    boxes = jnp.stack([r[0] for r in results])
+    scores = jnp.stack([r[1] for r in results])
+    valid_out = jnp.stack([r[2] for r in results])
+    return boxes, scores, valid_out
+
+
+def detect(params, image_bgr: np.ndarray, cfg: M.MSCNNConfig,
+           spec: DetectSpec = DetectSpec(), *,
+           mean_values=(104.0, 117.0, 123.0), fwd=None):
+    """Single-image detection: resize -> mean-sub -> deploy graph -> decode.
+
+    image_bgr: HWC uint8 BGR (cv2.imread layout). Returns dict with
+    per-class fixed-shape detections in original image coordinates plus the
+    rescaled proposals.
+    """
+    import cv2
+
+    orig_h, orig_w = image_bgr.shape[:2]
+    net_h, net_w = cfg.input_hw
+    resized = cv2.resize(image_bgr, (net_w, net_h),
+                         interpolation=cv2.INTER_LINEAR)
+    x = resized.astype(np.float32) - np.asarray(mean_values, np.float32)
+    x = jnp.asarray(x)[None]
+
+    if fwd is None:
+        fwd = jax.jit(lambda p, im: M.deploy_forward(p, im, cfg))
+    outputs = fwd(params, x)
+    ratios = jnp.asarray([net_h / orig_h, net_w / orig_w], jnp.float32)
+    orig_wh = jnp.asarray([orig_w, orig_h], jnp.float32)
+    boxes, scores, valid = postprocess(outputs, ratios, orig_wh, cfg, spec)
+
+    props = np.asarray(outputs["rois"], np.float64)
+    props[:, [0, 2]] /= float(ratios[1])
+    props[:, [1, 3]] /= float(ratios[0])
+    return {
+        "boxes": np.asarray(boxes),
+        "scores": np.asarray(scores),
+        "valid": np.asarray(valid),
+        "proposals": props,
+        "proposal_scores": np.asarray(outputs["roi_scores"]),
+        "proposal_valid": np.asarray(outputs["roi_valid"]),
+    }
+
+
+def make_forward(params, cfg: M.MSCNNConfig):
+    """Pre-jitted deploy forward for batch loops over many images."""
+    return jax.jit(lambda p, im: M.deploy_forward(p, im, cfg))
+
+
+# ---------------------------------------------------------------------------
+# KITTI output files
+# ---------------------------------------------------------------------------
+
+def write_detections_txt(path: str, rows: Sequence[tuple]):
+    """Per-class detection dump: rows of (img_idx, x, y, w, h, score) —
+    the final_detect_boxes format (run_mscnn_detection.m:150-160)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(",".join(f"{v:.6g}" for v in r) + "\n")
+
+
+def write_kitti_labels(objects: Sequence[dict], out_dir: str, img_idx: int,
+                       score_scale: float = 1000.0):
+    """One KITTI devkit label file: `type trunc occ alpha x1 y1 x2 y2 h w l
+    X Y Z ry score` with -1/-10 placeholders for 2-D detections
+    (writeDetForEval.m + devkit writeLabels)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{img_idx:06d}.txt"), "w") as f:
+        for obj in objects:
+            f.write(f"{obj['type']} -1 -1 -10 "
+                    f"{obj['x1']:.2f} {obj['y1']:.2f} "
+                    f"{obj['x2']:.2f} {obj['y2']:.2f} "
+                    f"-1 -1 -1 -1000 -1000 -1000 -10 "
+                    f"{obj['score'] * score_scale:.2f}\n")
+
+
+def detections_to_kitti(det: dict, class_names: Sequence[str],
+                        cls_ids: Optional[Sequence[int]] = None):
+    """Convert a detect() result to KITTI label-object dicts."""
+    objects = []
+    ids = cls_ids if cls_ids is not None else range(1, len(class_names))
+    for k in ids:
+        row = k - 1
+        for b, s, v in zip(det["boxes"][row], det["scores"][row],
+                           det["valid"][row]):
+            if not v:
+                continue
+            objects.append({
+                "type": class_names[k],
+                "x1": float(b[0]), "y1": float(b[1]),
+                "x2": float(b[0] + b[2]), "y2": float(b[1] + b[3]),
+                "score": float(s),
+            })
+    return objects
