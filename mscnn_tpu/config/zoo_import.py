@@ -42,6 +42,60 @@ def _conv_by_name(net, name):
     return None
 
 
+_BASE_FEATS = frozenset(
+    [name for name, _ in __import__(
+        "mscnn_tpu.models.mscnn", fromlist=["VGG_BLOCKS"]).VGG_BLOCKS]
+    + [f"pool{i}" for i in range(1, 6)])
+
+
+def _layer_by_name(net, name):
+    for layer in PB.layers(net):
+        if layer.get("name") == name:
+            return layer
+    return None
+
+
+def _extra_layers_from_net(net, sources) -> tuple:
+    """Reconstruct the trunk tail: walk each branch source back to the VGG
+    base, collecting conv/pool layers in dependency order. Handles both the
+    kitti tail (conv6_1 + max pool6 + loss1_conv1) and the widerface tail
+    (ave pool6 + rpn_N_conv 3x3s)."""
+    ordered = []
+    seen = set()
+
+    def visit(name):
+        if name in _BASE_FEATS or name in seen:
+            return
+        layer = _layer_by_name(net, name)
+        if layer is None:
+            raise ValueError(f"trunk feature {name!r} not found in net")
+        seen.add(name)
+        bottom = layer.get("bottom")
+        if isinstance(bottom, list):
+            bottom = bottom[0]
+        visit(str(bottom))
+        if layer.get("type") == "Convolution":
+            cp = layer.get("convolution_param", {})
+            ordered.append(("conv", name, str(bottom),
+                            int(cp.get("kernel_size", 3)),
+                            int(cp.get("num_output", 512))))
+        elif layer.get("type") == "Pooling":
+            pp = layer.get("pooling_param", {})
+            mode = "ave" if str(pp.get("pool", "MAX")).upper() == "AVE" \
+                else "max"
+            ordered.append(("pool", name, str(bottom), mode,
+                            int(pp.get("kernel_size", 2)),
+                            int(pp.get("stride", 2))))
+        else:
+            raise ValueError(
+                f"unsupported trunk-tail layer type {layer.get('type')!r} "
+                f"for {name!r}")
+
+    for s in sources:
+        visit(s)
+    return tuple(ordered)
+
+
 def _branches_from_net(net, data_param) -> tuple:
     """Reconstruct BranchSpecs: per-scale geometry from ImageGtData (or
     BoxOutput for deploy nets), head kernel/source from the LFCN convs."""
@@ -65,7 +119,10 @@ def _branches_from_net(net, data_param) -> tuple:
         if conv is None:
             raise ValueError(f"head conv layer {name!r} not found")
         cp = conv.get("convolution_param", {})
-        kernel = int(cp.get("kernel_size", 3))
+        if "kernel_h" in cp:  # asymmetric heads (citypersons 5x3)
+            kernel = (int(cp["kernel_h"]), int(cp["kernel_w"]))
+        else:
+            kernel = int(cp.get("kernel_size", 3))
         source = conv.get("bottom")
         if isinstance(source, list):
             source = source[0]
@@ -121,11 +178,14 @@ def model_from_prototxt(path: str, *, max_out: int = 512):
             if r > 0:
                 pad_ratio = r
 
+    branches = _branches_from_net(net, dp)
     cfg = MSCNNConfig(
         name=path,
         num_classes=cls_num,
         input_hw=(crop_h, crop_w),
-        branches=_branches_from_net(net, dp),
+        branches=branches,
+        extra_layers=_extra_layers_from_net(
+            net, [b.source for b in branches]),
         proposal=ProposalSpec(
             fg_thr=float(bp.get("fg_thr", -8.0)),
             iou_thr=float(bp.get("iou_thr", 0.65)),
@@ -213,12 +273,15 @@ def deploy_model_from_prototxt(path: str, *, max_out: int = 512,
     if cls_num is None:
         raise ValueError("deploy net has no cls_pred layer")
 
+    branches = _branches_from_net(net, bp)
     geom = dataclasses.replace(
         MSCNNConfig(),
         name=path,
         num_classes=cls_num,
         input_hw=input_hw,
-        branches=_branches_from_net(net, bp),
+        branches=branches,
+        extra_layers=_extra_layers_from_net(
+            net, [b.source for b in branches]),
         proposal=ProposalSpec(
             fg_thr=float(bp.get("fg_thr", -5.0)),
             iou_thr=float(bp.get("iou_thr", 0.65)),

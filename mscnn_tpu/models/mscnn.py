@@ -42,10 +42,36 @@ class BranchSpec:
     """One proposal head: a small FCN on a trunk feature map."""
     name: str       # e.g. "LFCN_1_5x5"
     source: str     # trunk feature: "loss1_conv1", "conv5_3", "conv6_1", "pool6"
-    kernel: int     # 5 or 7
+    kernel: object  # int (square) or (kh, kw) — citypersons uses 5x3 heads
     stride: int     # image-space downsample rate of the source map
     field_w: float  # anchor field size in image pixels
     field_h: float
+
+    @property
+    def kernel_hw(self):
+        k = self.kernel
+        return (k, k) if isinstance(k, int) else tuple(k)
+
+
+# Declarative trunk tail applied after the VGG blocks, in order:
+#   ("conv", name, source, kernel, out_channels)   3x3 SAME + ReLU
+#   ("pool", name, source, mode, kernel, stride)   mode "max" | "ave"
+# The kitti/caltech/citypersons family adds conv6 + max pool6 + the
+# loss1_conv1 buffer conv on conv4_3; widerface instead AVE-pools pool5 and
+# adds per-scale rpn_N_conv 3x3s (examples/widerface/mscnn-12s-2x/
+# trainval_2nd.prototxt:360-376, 1191-1199).
+KITTI_EXTRA_LAYERS = (
+    ("conv", "conv6_1", "pool5", 3, 512),
+    ("pool", "pool6", "conv6_1", "max", 2, 2),
+    ("conv", "loss1_conv1", "conv4_3", 3, 512),
+)
+WIDERFACE_EXTRA_LAYERS = (
+    ("pool", "pool6", "pool5", "ave", 2, 2),
+    ("conv", "rpn_1_conv", "conv4_3", 3, 512),
+    ("conv", "rpn_2_conv", "conv5_3", 3, 512),
+    ("conv", "rpn_3_conv", "pool5", 3, 512),
+    ("conv", "rpn_4_conv", "pool6", 3, 512),
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +93,7 @@ class MSCNNConfig:
     num_classes: int = 5       # incl. background
     input_hw: tuple = (576, 768)
     branches: tuple = ()
+    extra_layers: tuple = KITTI_EXTRA_LAYERS
     proposal: ProposalSpec = dataclasses.field(default_factory=ProposalSpec)
     bbox_mean: tuple = (0.0, 0.0, 0.0, 0.0)
     bbox_std: tuple = (0.1, 0.1, 0.2, 0.2)
@@ -116,7 +143,7 @@ def init_params(key, cfg: MSCNNConfig):
     bbox_pred; the 2x upsampler is a frozen bilinear kernel.
     """
     params = {}
-    keys = iter(jax.random.split(key, 64))
+    keys = iter(jax.random.split(key, 128))
     in_c = 3
     for lname, out_c in VGG_BLOCKS:
         params[lname] = {
@@ -124,42 +151,53 @@ def init_params(key, cfg: MSCNNConfig):
             "b": fillers.constant((out_c,)),
         }
         in_c = out_c
-    params["conv6_1"] = {
-        "w": fillers.gaussian(next(keys), (3, 3, 512, 512), 0.01),
-        "b": fillers.constant((512,)),
-    }
-    params["loss1_conv1"] = {
-        "w": fillers.gaussian(next(keys), (3, 3, 512, 512), 0.01),
-        "b": fillers.constant((512,)),
-    }
+    for spec in cfg.extra_layers:
+        if spec[0] == "conv":
+            _, lname, _, k, out_c = spec
+            params[lname] = {
+                "w": fillers.gaussian(next(keys), (k, k, 512, out_c), 0.01),
+                "b": fillers.constant((out_c,)),
+            }
     hc = cfg.head_channels
     for br in cfg.branches:
+        kh, kw = br.kernel_hw
         params[br.name] = {
-            "w": fillers.gaussian(next(keys), (br.kernel, br.kernel, 512, hc), 0.001),
+            "w": fillers.gaussian(next(keys), (kh, kw, 512, hc), 0.001),
             "b": fillers.constant((hc,)),
         }
     if cfg.use_2x_upsample:
         params["conv4_3_2x"] = {"w": fillers.bilinear(4, 512)}
+    params.update(init_roi_head_params(keys, cfg))
+    return params
+
+
+def init_roi_head_params(keys, cfg: MSCNNConfig, suffix: str = "",
+                         bbox_out: Optional[int] = None):
+    """ROI-head parameter block (roi_c1 -> fc6 -> cls_pred / bbox_pred),
+    optionally name-suffixed for cascade stages (`_2nd`, `_3rd`)."""
     pooled_in = 2 * 512  # org + ctx concat
-    params["roi_c1"] = {
-        "w": fillers.gaussian(next(keys), (3, 3, pooled_in, 512), 0.01),
-        "b": fillers.constant((512,)),
-    }
     grid = cfg.roi_pooled + 1 if cfg.roi_align else cfg.roi_pooled
     fc_in = (grid - 2) * (grid - 2) * 512  # after 3x3 VALID conv
-    params["fc6"] = {
-        "w": fillers.gaussian(next(keys), (fc_in, cfg.fc_dim), 0.001),
-        "b": fillers.constant((cfg.fc_dim,)),
+    if bbox_out is None:
+        bbox_out = 4 * cfg.num_classes
+    return {
+        f"roi_c1{suffix}": {
+            "w": fillers.gaussian(next(keys), (3, 3, pooled_in, 512), 0.01),
+            "b": fillers.constant((512,)),
+        },
+        f"fc6{suffix}": {
+            "w": fillers.gaussian(next(keys), (fc_in, cfg.fc_dim), 0.001),
+            "b": fillers.constant((cfg.fc_dim,)),
+        },
+        f"cls_pred{suffix}": {
+            "w": fillers.gaussian(next(keys), (cfg.fc_dim, cfg.num_classes), 0.01),
+            "b": fillers.constant((cfg.num_classes,)),
+        },
+        f"bbox_pred{suffix}": {
+            "w": fillers.gaussian(next(keys), (cfg.fc_dim, bbox_out), 0.001),
+            "b": fillers.constant((bbox_out,)),
+        },
     }
-    params["cls_pred"] = {
-        "w": fillers.gaussian(next(keys), (cfg.fc_dim, cfg.num_classes), 0.01),
-        "b": fillers.constant((cfg.num_classes,)),
-    }
-    params["bbox_pred"] = {
-        "w": fillers.gaussian(next(keys), (cfg.fc_dim, 4 * cfg.num_classes), 0.001),
-        "b": fillers.constant((4 * cfg.num_classes,)),
-    }
-    return params
 
 
 # Layers whose params are frozen during fine-tuning, and layers that keep the
@@ -200,13 +238,16 @@ def param_decay_multipliers(params, cfg: MSCNNConfig):
 
 def _cb(params, name, x, relu=True):
     p = params[name]
-    y = C.conv2d(x, p["w"].astype(x.dtype), p["b"], padding=p["w"].shape[0] // 2)
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
+    y = C.conv2d(x, p["w"].astype(x.dtype), p["b"],
+                 padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)])
     return jax.nn.relu(y) if relu else y
 
 
 def trunk(params, x, cfg: MSCNNConfig):
-    """VGG16 trunk + conv6_1 + pool6 + loss1_conv1. x: [B, H, W, 3]
-    (BGR, mean-subtracted). Returns the feature dict used by heads/ROI."""
+    """VGG16 trunk + the config's extra tail layers (conv6/pool6/loss1_conv1
+    for the kitti family, ave-pool6 + rpn convs for widerface).
+    x: [B, H, W, 3] (BGR, mean-subtracted). Returns the feature dict."""
     x = x.astype(cfg.cdtype())
     feats = {}
     for lname, _ in VGG_BLOCKS:
@@ -215,9 +256,14 @@ def trunk(params, x, cfg: MSCNNConfig):
         if lname in POOL_AFTER:
             x = C.max_pool(x, 2, 2)
             feats[POOL_AFTER[lname]] = x
-    feats["conv6_1"] = _cb(params, "conv6_1", feats["pool5"])
-    feats["pool6"] = C.max_pool(feats["conv6_1"], 2, 2)
-    feats["loss1_conv1"] = _cb(params, "loss1_conv1", feats["conv4_3"])
+    for spec in cfg.extra_layers:
+        if spec[0] == "conv":
+            _, lname, source, _, _ = spec
+            feats[lname] = _cb(params, lname, feats[source])
+        else:
+            _, lname, source, mode, k, s = spec
+            pool = C.max_pool if mode == "max" else C.avg_pool
+            feats[lname] = pool(feats[source], k, s)
     return feats
 
 
@@ -270,17 +316,27 @@ def propose(head_outs, cfg: MSCNNConfig, *, apply_bbox_norm: bool = False):
     return {"boxes": boxes, "scores": scores, "valid": valid}
 
 
+def upsampled_roi_feature(params, conv4_3, cfg: MSCNNConfig):
+    """The shared ROI source map (conv4_3, 2x bilinear-upsampled when
+    configured) — computed once and fed to every cascade stage."""
+    if cfg.use_2x_upsample:
+        return C.upsample2x_bilinear(conv4_3, params["conv4_3_2x"]["w"])
+    return conv4_3
+
+
 def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
-             *, train: bool = False, dropout_key: Optional[jax.Array] = None):
+             *, train: bool = False, dropout_key: Optional[jax.Array] = None,
+             suffix: str = "", feat=None):
     """Detection sub-network over proposals.
 
     conv4_3: [B, H/8, W/8, 512]; batch_idx: [R]; rois: [R, 4] corners;
-    valid: [R]. Returns (cls_pred [R, C], bbox_pred [R, 4C]).
+    valid: [R]. Returns (cls_pred [R, C], bbox_pred [R, 4C or 8]).
+    suffix selects a cascade stage's head params; pass feat to reuse an
+    already-upsampled ROI source map.
     """
-    feat = conv4_3
+    if feat is None:
+        feat = upsampled_roi_feature(params, conv4_3, cfg)
     scale = cfg.roi_spatial_scale
-    if cfg.use_2x_upsample:
-        feat = C.upsample2x_bilinear(conv4_3, params["conv4_3_2x"]["w"])
 
     pool_fn = roi_ops.roi_align if cfg.roi_align else roi_ops.roi_max_pool
     kwargs = {} if cfg.roi_align else {"samples": cfg.roi_samples}
@@ -290,14 +346,17 @@ def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
                   pad_ratio=cfg.roi_pad_ratio, pooled=cfg.roi_pooled, **kwargs)
     x = jnp.concatenate([org, ctx], axis=-1).astype(cfg.cdtype())
 
-    p = params["roi_c1"]
+    p = params[f"roi_c1{suffix}"]
     x = jax.nn.relu(C.conv2d(x, p["w"].astype(x.dtype), p["b"], padding="VALID"))
     x = x.reshape(x.shape[0], -1)
-    x = jax.nn.relu(C.dense(x, params["fc6"]["w"].astype(x.dtype), params["fc6"]["b"]))
+    p = params[f"fc6{suffix}"]
+    x = jax.nn.relu(C.dense(x, p["w"].astype(x.dtype), p["b"]))
     if train and cfg.dropout > 0:
         x = C.dropout(x, cfg.dropout, dropout_key, train=True)
-    cls = C.dense(x, params["cls_pred"]["w"].astype(x.dtype), params["cls_pred"]["b"])
-    bbox = C.dense(x, params["bbox_pred"]["w"].astype(x.dtype), params["bbox_pred"]["b"])
+    p = params[f"cls_pred{suffix}"]
+    cls = C.dense(x, p["w"].astype(x.dtype), p["b"])
+    p = params[f"bbox_pred{suffix}"]
+    bbox = C.dense(x, p["w"].astype(x.dtype), p["b"])
     return cls.astype(jnp.float32), bbox.astype(jnp.float32)
 
 

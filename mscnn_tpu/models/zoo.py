@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import dataclasses
 
-from mscnn_tpu.models.mscnn import BranchSpec, MSCNNConfig, ProposalSpec
+from mscnn_tpu.models.mscnn import (
+    WIDERFACE_EXTRA_LAYERS, BranchSpec, MSCNNConfig, ProposalSpec,
+)
 
 
 def _branches(fields_w, fields_h, strides, kernels, sources):
@@ -84,6 +86,77 @@ def caltech_7s_480_2x(*, deploy: bool = False, max_out: int = 512) -> MSCNNConfi
     )
 
 
+def citypersons_8s_1344_2x(*, deploy: bool = False,
+                           max_out: int = 512) -> MSCNNConfig:
+    """citypersons/mscnn-8s-1344-2x: 8 branches, 2:1 asymmetric 5x3 heads
+    (examples/citypersons/mscnn-8s-1344-2x/trainval_2nd.prototxt)."""
+    fw = (30.0, 42.0, 60.0, 84.0, 120.0, 168.0, 240.0, 336.0)
+    fh = tuple(2 * w for w in fw)
+    sources = ("loss1_conv1", "loss1_conv1", "conv5_3", "conv5_3",
+               "conv6_1", "conv6_1", "pool6", "pool6")
+    strides = (8, 8, 16, 16, 32, 32, 64, 64)
+    names = ("LFCN_1_3x5", "LFCN_1_5x7", "LFCN_2_3x5", "LFCN_2_5x7",
+             "LFCN_3_3x5", "LFCN_3_5x7", "LFCN_4_3x5", "LFCN_4_5x7")
+    kernels = ((5, 3), (7, 5), (5, 3), (7, 5), (5, 3), (7, 5), (5, 3), (7, 5))
+    branches = tuple(
+        BranchSpec(n, src, k, st, w, h)
+        for n, src, k, st, w, h in zip(names, sources, kernels, strides, fw, fh))
+    prop = ProposalSpec(
+        fg_thr=-5.0 if deploy else -8.0, iou_thr=0.65, nms_mode="iou",
+        max_nms_num=2000 if deploy else 3000, max_out=max_out, min_size=8.0)
+    return MSCNNConfig(
+        name="citypersons/mscnn-8s-1344-2x",
+        num_classes=2,
+        input_hw=(1344, 2688) if deploy else (960, 960),
+        branches=branches,
+        proposal=prop,
+    )
+
+
+def widerface_12s_2x(*, deploy: bool = False, max_out: int = 512,
+                     input_hw=(512, 512), roi_align: bool = False,
+                     use_2x: bool = True) -> MSCNNConfig:
+    """widerface/mscnn-12s-2x: 12-field dense face pyramid over shared
+    rpn_N_conv 3x3s with 1x1 heads; no input resize (native crops)."""
+    fields = (12.0, 16.0, 24.0, 32.0, 48.0, 64.0, 96.0,
+              128.0, 196.0, 256.0, 384.0, 480.0)
+    sources = ("rpn_1_conv",) * 5 + ("rpn_2_conv",) * 2 + \
+        ("rpn_3_conv",) * 2 + ("rpn_4_conv",) * 3
+    strides = (8,) * 5 + (16,) * 2 + (32,) * 2 + (64,) * 3
+    names = tuple(f"LFCN_{g}_{int(f)}x{int(f)}" for g, f in zip(
+        (1, 1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 4), fields))
+    branches = tuple(
+        BranchSpec(n, src, 1, st, f, f)
+        for n, src, st, f in zip(names, sources, strides, fields))
+    prop = ProposalSpec(
+        fg_thr=-5.0 if deploy else -8.0, iou_thr=0.65, nms_mode="iou",
+        max_nms_num=2000 if deploy else 3000, max_out=max_out, min_size=2.0)
+    return MSCNNConfig(
+        name="widerface/mscnn-12s-2x",
+        num_classes=2,
+        input_hw=input_hw,
+        branches=branches,
+        extra_layers=WIDERFACE_EXTRA_LAYERS,
+        proposal=prop,
+        use_2x_upsample=use_2x,
+        roi_align=roi_align,
+    )
+
+
+def cascade_kitti_car_7s_576_2x(*, deploy: bool = False, max_out: int = 512):
+    """kitti_car/cascade-mscnn-7s-576-2x: 3-stage 0.5/0.6/0.7 cascade."""
+    from mscnn_tpu.models.cascade import CascadeConfig
+    return CascadeConfig(base=kitti_car_7s_576_2x(deploy=deploy,
+                                                  max_out=max_out))
+
+
+def cascade_widerface_12s_align(*, deploy: bool = False, max_out: int = 512):
+    """widerface/cascade-mscnn-12s-align: cascade + ROIAlign, no 2x."""
+    from mscnn_tpu.models.cascade import CascadeConfig
+    return CascadeConfig(base=widerface_12s_2x(
+        deploy=deploy, max_out=max_out, roi_align=True, use_2x=False))
+
+
 def tiny_test_config(num_classes: int = 3, max_out: int = 32) -> MSCNNConfig:
     """Small config for unit tests: 2 branches, 64x96 input."""
     branches = (
@@ -102,6 +175,10 @@ REGISTRY = {
     "kitti_car/mscnn-7s-576-2x": kitti_car_7s_576_2x,
     "kitti_ped_cyc/mscnn-7s-576-2x": kitti_ped_cyc_7s_576_2x,
     "caltech/mscnn-7s-480-2x": caltech_7s_480_2x,
+    "citypersons/mscnn-8s-1344-2x": citypersons_8s_1344_2x,
+    "widerface/mscnn-12s-2x": widerface_12s_2x,
+    "kitti_car/cascade-mscnn-7s-576-2x": cascade_kitti_car_7s_576_2x,
+    "widerface/cascade-mscnn-12s-align": cascade_widerface_12s_align,
 }
 
 

@@ -220,6 +220,30 @@ def encode_roi_targets(rois_xywh, gts_xywh, bbox_mean=None, bbox_std=None):
     return t
 
 
+def decode_bbox(bbox_pred, rois_corners, valid, *, bbox_mean=None,
+                bbox_std=None, match_overlap=None, gt_iou_thr: float = 0.95,
+                train: bool = True):
+    """DecodeBBox layer (cascade): stage-k bbox_pred -> stage-k+1 proposals.
+
+    bbox_pred: [R, 8] class-agnostic two-slot deltas (the layer CHECKs
+    channels == 8, decode_bbox_layer.cpp:47); rois_corners: [R, 4] inclusive
+    corners; valid: [R]. In TRAIN mode malformed boxes (x1 > x2) and boxes
+    already >= gt_iou_thr overlap with their matched gt are masked invalid
+    instead of dropped (the reference emits variable row counts,
+    decode_bbox_layer.cpp:79-101; fixed capacity + mask here).
+    Returns (new_rois_corners [R, 4], new_valid [R]).
+    """
+    dec = decode_with_prior(bbox_pred, rois_corners, bbox_mean, bbox_std)
+    new = dec[:, 4:8]  # fg slot
+    out_valid = valid
+    if train:
+        ok = (new[:, 0] <= new[:, 2]) & (new[:, 1] <= new[:, 3])
+        out_valid = out_valid & ok
+        if match_overlap is not None:
+            out_valid = out_valid & (match_overlap < gt_iou_thr)
+    return new, out_valid
+
+
 def decode_with_prior(deltas, priors_corners, bbox_mean=None, bbox_std=None):
     """Decode per-class box deltas around prior boxes (second stage / cascade).
 

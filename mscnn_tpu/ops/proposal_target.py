@@ -60,6 +60,95 @@ def _rank_desc(x):
     return jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
 
+def proposal_target_keep_all(roi_batch_idx, roi_boxes, roi_valid,
+                             gt_boxes, gt_valid, spec: ProposalTargetSpec):
+    """batch_size == -1 mode (cascade later stages): keep every candidate
+    (proposals + gts), no sampling, no synthesized backgrounds. Output row
+    count is fixed at N + G; candidates falling outside both the fg and bg
+    ranges are masked invalid (with bg range [0, fg_thr) nothing is).
+    """
+    n = roi_boxes.shape[0]
+    g = gt_boxes.shape[0]
+
+    gt_xywh = jnp.stack([
+        gt_boxes[:, 1], gt_boxes[:, 2],
+        gt_boxes[:, 3] - gt_boxes[:, 1] + 1.0,
+        gt_boxes[:, 4] - gt_boxes[:, 2] + 1.0,
+    ], axis=-1)
+    gt_img = gt_boxes[:, 0].astype(jnp.int32)
+    gt_label = gt_boxes[:, 5]
+    gt_ignored = gt_boxes[:, 6] != 0
+
+    roi_xywh = jnp.stack([
+        roi_boxes[:, 0], roi_boxes[:, 1],
+        roi_boxes[:, 2] - roi_boxes[:, 0] + 1.0,
+        roi_boxes[:, 3] - roi_boxes[:, 1] + 1.0,
+    ], axis=-1)
+
+    cand_xywh = jnp.concatenate([roi_xywh, gt_xywh], 0)
+    cand_img = jnp.concatenate([roi_batch_idx, gt_img], 0)
+    cand_valid = jnp.concatenate([roi_valid, gt_valid & ~gt_ignored], 0)
+    R = n + g
+
+    iou = box_ops.iou_xywh(cand_xywh, gt_xywh)
+    same_img = cand_img[:, None] == gt_img[None, :]
+    iou = jnp.where(same_img & gt_valid[None, :], iou, -1.0)
+    max_ov = jnp.max(iou, axis=1)
+    max_gt = jnp.argmax(iou, axis=1)
+    has_gt = max_ov >= 0.0
+    max_ov = jnp.maximum(max_ov, 0.0)
+    matched_ignored = jnp.where(has_gt, gt_ignored[max_gt], False)
+
+    is_fg = cand_valid & (max_ov >= spec.fg_thr) & ~matched_ignored
+    is_bg = cand_valid & (max_ov >= spec.bg_thr_lw) & \
+        (max_ov < spec.bg_thr_hg) & ~is_fg
+    keep = is_fg | is_bg
+    labels = jnp.where(is_fg, gt_label[max_gt].astype(jnp.int32), 0)
+
+    tgt_raw = box_ops.encode_roi_targets(
+        cand_xywh, gt_xywh[max_gt], spec.bbox_mean, spec.bbox_std)
+    tgt_valid = is_fg & has_gt
+
+    D = spec.target_dim
+    cls_slot = jnp.where(
+        jnp.asarray(spec.cls_aware), labels, jnp.minimum(labels, 1))
+    col = cls_slot[:, None] * 4 + jnp.arange(4)[None, :]
+    row = jnp.arange(R)[:, None]
+    bbox_targets = jnp.zeros((R, D)).at[row, col].set(
+        jnp.where(tgt_valid[:, None], tgt_raw, 0.0))
+    w_on = jnp.where(tgt_valid & (labels > 0), 1.0, 0.0)
+    inside_w = jnp.zeros((R, D)).at[row, col].set(
+        jnp.broadcast_to(w_on[:, None], (R, 4)))
+
+    fg_row = (labels > 0) & has_gt
+    mg = jnp.stack([
+        labels.astype(jnp.float32),
+        gt_boxes[max_gt, 1], gt_boxes[max_gt, 2],
+        gt_boxes[max_gt, 3], gt_boxes[max_gt, 4],
+        max_ov,
+    ], axis=-1)
+    match_gt = jnp.where(fg_row[:, None], mg, 0.0)
+
+    rois = jnp.stack([
+        cand_xywh[:, 0], cand_xywh[:, 1],
+        cand_xywh[:, 0] + cand_xywh[:, 2] - 1.0,
+        cand_xywh[:, 1] + cand_xywh[:, 3] - 1.0,
+    ], axis=-1)
+
+    return {
+        "batch_idx": cand_img,
+        "rois": rois,
+        "labels": labels,
+        "bbox_targets": bbox_targets,
+        "inside_w": inside_w,
+        "outside_w": inside_w,
+        "match_gt": match_gt,
+        "sample_weight": jnp.ones(R),
+        "valid": keep,
+        "n_fg": is_fg.sum(),
+    }
+
+
 def proposal_target(key, roi_batch_idx, roi_boxes, roi_valid,
                     gt_boxes, gt_valid, spec: ProposalTargetSpec):
     """Sample the detection-subnet roi batch.

@@ -1,0 +1,153 @@
+"""Cascade-MSCNN: DecodeBBox semantics, keep-all proposal targets, staged
+losses with gradients, deploy forward, and the new zoo trunk variants."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mscnn_tpu.data.synthetic import make_batch
+from mscnn_tpu.models import cascade as CC
+from mscnn_tpu.models import mscnn as M
+from mscnn_tpu.models import zoo
+from mscnn_tpu.ops import boxes as box_ops
+from mscnn_tpu.ops import proposal_target as PT
+
+
+@pytest.fixture(scope="module")
+def tiny_cascade():
+    ccfg = CC.CascadeConfig(base=zoo.tiny_test_config())
+    params = CC.init_params(jax.random.key(0), ccfg)
+    return ccfg, params
+
+
+def test_decode_bbox_identity_and_shift():
+    rois = jnp.asarray([[10.0, 10.0, 49.0, 49.0]])  # inclusive, 40x40
+    valid = jnp.ones(1, bool)
+    # zero deltas in both slots -> fg slot decodes back to the prior
+    pred = jnp.zeros((1, 8))
+    new, v = box_ops.decode_bbox(pred, rois, valid, train=False)
+    np.testing.assert_allclose(np.asarray(new[0]), [10, 10, 49, 49], atol=1e-4)
+    assert bool(v[0])
+    # dx = +0.25 with std 0.05 -> encoded 5.0 shifts center by 0.25*40 = 10
+    pred = jnp.zeros((1, 8)).at[0, 4].set(5.0)
+    new, _ = box_ops.decode_bbox(pred, rois, valid,
+                                 bbox_mean=(0.0,) * 4,
+                                 bbox_std=(0.05, 0.05, 0.1, 0.1), train=False)
+    np.testing.assert_allclose(np.asarray(new[0]), [20, 10, 59, 49], atol=1e-4)
+
+
+def test_decode_bbox_train_screens():
+    rois = jnp.asarray([[10.0, 10.0, 49.0, 49.0],
+                        [10.0, 10.0, 49.0, 49.0],
+                        [10.0, 10.0, 49.0, 49.0]])
+    valid = jnp.ones(3, bool)
+    # box 1 shrunk to a malformed box via a huge negative log-size delta is
+    # impossible (exp > 0); instead invalidate via overlap screen; malformed
+    # needs x1 > x2 which decode can't produce, so test the overlap screen
+    # and the valid passthrough.
+    pred = jnp.zeros((3, 8))
+    ov = jnp.asarray([0.5, 0.96, 0.2])
+    _, v = box_ops.decode_bbox(pred, rois, valid, match_overlap=ov,
+                               gt_iou_thr=0.95, train=True)
+    assert v.tolist() == [True, False, True]
+
+
+def test_proposal_target_keep_all_labels():
+    spec = PT.ProposalTargetSpec(
+        cls_num=3, batch_size=-1, fg_thr=0.6, bg_thr_hg=0.6, bg_thr_lw=0.0,
+        num_img_per_batch=1, img_width=100, img_height=100,
+        cls_aware=False, bbox_std=(0.05, 0.05, 0.1, 0.1), keep_all=True)
+    gt = jnp.asarray([[0.0, 10.0, 10.0, 49.0, 49.0, 2.0, 0.0]])
+    gt_valid = jnp.ones(1, bool)
+    rois = jnp.asarray([
+        [10.0, 10.0, 49.0, 49.0],   # IoU 1.0 -> fg
+        [20.0, 10.0, 59.0, 49.0],   # IoU ~0.6 -> fg (>= 0.6)
+        [60.0, 60.0, 99.0, 99.0],   # IoU 0 -> bg
+    ])
+    out = PT.proposal_target_keep_all(
+        jnp.zeros(3, jnp.int32), rois, jnp.ones(3, bool), gt, gt_valid, spec)
+    assert out["rois"].shape == (4, 4)           # 3 rois + 1 gt
+    assert out["labels"].tolist() == [2, 2, 0, 2]
+    assert out["valid"].tolist() == [True, True, True, True]
+    # cls-agnostic targets: fg rows write slot 1 (cols 4:8)
+    assert out["bbox_targets"].shape == (4, 8)
+    assert float(jnp.abs(out["bbox_targets"][0, 4:8]).sum()) < 1e-5  # exact
+    assert float(jnp.abs(out["bbox_targets"][1, 4:8]).sum()) > 0     # shifted
+    assert float(jnp.abs(out["bbox_targets"][2]).sum()) == 0.0       # bg
+
+
+def test_cascade_init_params_and_multipliers(tiny_cascade):
+    ccfg, params = tiny_cascade
+    # class-agnostic heads: 8-wide bbox_pred at every stage
+    for sfx in ("", "_2nd", "_3rd"):
+        assert params[f"bbox_pred{sfx}"]["w"].shape[-1] == 8
+        assert f"roi_c1{sfx}" in params and f"fc6{sfx}" in params
+    mults = CC.param_lr_multipliers(params, ccfg)
+    assert mults["roi_c1"]["w"] == 1.0 and mults["roi_c1"]["b"] == 2.0
+    assert mults["roi_c1_2nd"]["w"] == 2.0 and mults["roi_c1_2nd"]["b"] == 4.0
+    assert mults["fc6_3rd"]["w"] == 4.0 and mults["fc6_3rd"]["b"] == 8.0
+
+
+def test_cascade_loss_and_grads(tiny_cascade):
+    from mscnn_tpu.train import train_step as T
+    ccfg, params = tiny_cascade
+    batch = make_batch(ccfg.base, batch=2)
+    tspec = T.TrainSpec(stage=2, with_metrics=True)
+    (loss, metrics), grads = jax.value_and_grad(
+        CC.loss_fn, has_aux=True)(params, batch, jax.random.key(0), ccfg,
+                                  tspec, roi_batch=16)
+    assert np.isfinite(float(loss))
+    for tag in ("_1st", "_2nd", "_3rd"):
+        assert f"loss_cls{tag}" in metrics
+        assert f"loss_bbox{tag}" in metrics
+    # all three stage heads receive gradient
+    for sfx in ("", "_2nd", "_3rd"):
+        g = grads[f"cls_pred{sfx}"]["w"]
+        assert float(jnp.abs(g).sum()) > 0, sfx
+
+
+def test_cascade_deploy_forward(tiny_cascade):
+    ccfg, params = tiny_cascade
+    h, w = ccfg.base.input_hw
+    out = CC.deploy_forward(params, jnp.zeros((1, h, w, 3)), ccfg)
+    R = ccfg.base.proposal.max_out
+    assert out["rois"].shape == (R, 4)
+    assert out["cls_pred"].shape == (R, ccfg.base.num_classes)
+    assert out["bbox_pred"].shape == (R, 8)
+    assert out["cls_prob_avg"].shape == (R, ccfg.base.num_classes)
+    np.testing.assert_allclose(
+        np.asarray(out["cls_prob_avg"].sum(-1)), 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("maker,n_branches", [
+    (zoo.citypersons_8s_1344_2x, 8),
+    (zoo.widerface_12s_2x, 12),
+])
+def test_new_zoo_trunks_forward(maker, n_branches):
+    cfg = maker()
+    cfg = dataclasses.replace(cfg, input_hw=(128, 128))
+    params = M.init_params(jax.random.key(0), cfg)
+    feats = M.trunk(params, jnp.zeros((1, 128, 128, 3)), cfg)
+    outs = M.heads(params, feats, cfg)
+    assert len(outs) == n_branches
+    for br, o in zip(cfg.branches, outs):
+        assert o.shape[1] == 128 // br.stride, br
+        assert o.shape[-1] == cfg.num_classes + 4
+
+
+def test_citypersons_asymmetric_head_kernels():
+    cfg = zoo.citypersons_8s_1344_2x()
+    params = M.init_params(jax.random.key(0), cfg)
+    # 5x3 kernels: kernel_h 5, kernel_w 3
+    assert params["LFCN_1_3x5"]["w"].shape[:2] == (5, 3)
+
+
+def test_widerface_trunk_has_rpn_convs():
+    cfg = zoo.widerface_12s_2x()
+    params = M.init_params(jax.random.key(0), cfg)
+    for n in ("rpn_1_conv", "rpn_2_conv", "rpn_3_conv", "rpn_4_conv"):
+        assert n in params
+    assert "conv6_1" not in params and "loss1_conv1" not in params

@@ -130,6 +130,41 @@ def test_trainval_import_ped_cyc():
 
 
 @needs_ref
+def test_trainval_import_citypersons_asymmetric():
+    cfg, _, aug, _, _ = Z.model_from_prototxt(
+        f"{REF}/citypersons/mscnn-8s-1344-2x/trainval_2nd.prototxt")
+    assert cfg.num_classes == 2
+    assert len(cfg.branches) == 8
+    assert cfg.branches[0].kernel == (5, 3)   # kernel_h 5, kernel_w 3
+    assert aug.resize_hw == (1344, 2688)
+    names = [l[1] for l in cfg.extra_layers]
+    assert "loss1_conv1" in names and "conv6_1" in names
+
+
+@needs_ref
+def test_trainval_import_widerface_rpn_trunk():
+    cfg, _, aug, _, _ = Z.model_from_prototxt(
+        f"{REF}/widerface/mscnn-12s-2x/trainval_2nd.prototxt")
+    assert len(cfg.branches) == 12
+    assert cfg.branches[0].source == "rpn_1_conv"
+    assert aug.resize_hw is None              # native resolution crops
+    assert aug.min_gt_width == 8.0
+    layers = {l[1]: l for l in cfg.extra_layers}
+    assert layers["pool6"][3] == "ave"        # AVE-pooled pool6
+    assert layers["rpn_3_conv"][2] == "pool5"
+    # the imported config builds and runs at a reduced input size
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from mscnn_tpu.models import mscnn as M
+    small = dataclasses.replace(cfg, input_hw=(128, 128))
+    params = M.init_params(jax.random.key(0), small)
+    outs = M.heads(params, M.trunk(params, jnp.zeros((1, 128, 128, 3)),
+                                   small), small)
+    assert len(outs) == 12
+
+
+@needs_ref
 def test_deploy_import_kitti_car():
     cfg = Z.deploy_model_from_prototxt(
         f"{REF}/kitti_car/mscnn-7s-576-2x/mscnn_deploy.prototxt")
