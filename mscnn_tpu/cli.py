@@ -47,8 +47,6 @@ def _build_training(args, solver_path):
 
     window_file = args.window_file or os.path.join(
         os.path.dirname(net_path), source)
-    dataset = P.dataset_from_window_file(
-        window_file, aug, dspec, root_folder=args.root_folder)
 
     mesh = None
     if args.devices > 1:
@@ -80,19 +78,26 @@ def _build_training(args, solver_path):
     if mesh is not None:
         state = T.replicate_state(state, mesh)
 
-    return state, step, dataset, device_put, lspec, cfg, tspec, mesh
+    def make_batch_source():
+        from mscnn_tpu.data import native_loader as NL
+        return NL.make_loader(window_file, aug, dspec,
+                              root_folder=args.root_folder,
+                              prefer_native=not getattr(args, "no_native",
+                                                        False),
+                              device_put=device_put)
+
+    return state, step, make_batch_source, lspec, cfg, tspec, mesh
 
 
 def cmd_train(args):
-    from mscnn_tpu.data import pipeline as P
     from mscnn_tpu.train import loop as LP
 
-    state, step, dataset, device_put, lspec, cfg, tspec, mesh = \
+    state, step, make_batch_source, lspec, cfg, tspec, mesh = \
         _build_training(args, args.solver)
     if args.iterations:
         lspec = dataclasses.replace(lspec, max_iter=args.iterations)
-    with P.Prefetcher(dataset, device_put=device_put) as pf:
-        LP.solve(step, state, pf.get, lspec, key=jax.random.key(args.seed))
+    with make_batch_source() as src:
+        LP.solve(step, state, src.get, lspec, key=jax.random.key(args.seed))
     print("Optimization Done.")
     return 0
 
@@ -125,17 +130,16 @@ def cmd_train2(args):
 
 def cmd_test(args):
     """Forward-only metric evaluation over --iterations batches."""
-    from mscnn_tpu.data import pipeline as P
     from mscnn_tpu.train import loop as LP
     from mscnn_tpu.train import train_step as T
 
-    state, _, dataset, device_put, lspec, cfg, tspec, mesh = \
+    state, _, make_batch_source, lspec, cfg, tspec, mesh = \
         _build_training(args, args.solver)
     eval_step = T.make_eval_step(cfg, tspec, mesh=mesh)
     n = args.iterations or lspec.test_iter or 50
-    with P.Prefetcher(dataset, device_put=device_put) as pf:
+    with make_batch_source() as src:
         out = LP.test_eval(eval_step, state["params"],
-                           (pf.get() for _ in range(n)),
+                           (src.get() for _ in range(n)),
                            jax.random.key(args.seed))
     print(json.dumps({k: round(v, 6) for k, v in out.items()}))
     return 0
@@ -280,6 +284,9 @@ def _add_common(p):
     p.add_argument("--iterations", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--no-native", action="store_true",
+                   help="use the Python data pipeline instead of the "
+                        "C++ loader")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--zoo", help="built-in zoo config name (cmd_time)")
 

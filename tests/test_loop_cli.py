@@ -110,7 +110,7 @@ layer {{
     shuffle: true
   }}
 }}
-layer {{ name: "LFCN_1_5x5" type: "Convolution" bottom: "loss1_conv1"
+layer {{ name: "LFCN_1_5x5" type: "Convolution" bottom: "conv4_3"
   convolution_param {{ kernel_size: 5 num_output: 7 }} }}
 layer {{ name: "LFCN_2_5x5" type: "Convolution" bottom: "conv5_3"
   convolution_param {{ kernel_size: 5 num_output: 7 }} }}
