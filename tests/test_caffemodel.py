@@ -1,0 +1,160 @@
+"""Caffemodel wire-format parsing + layout mapping, cross-checked against
+torch's NCHW convolution as an independent oracle."""
+
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mscnn_tpu.io import caffemodel as CM
+
+
+# --- minimal independent wire encoder (test fixture only) -------------------
+
+def varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def tag(field: int, wire: int) -> bytes:
+    return varint((field << 3) | wire)
+
+
+def len_field(field: int, payload: bytes) -> bytes:
+    return tag(field, 2) + varint(len(payload)) + payload
+
+
+def encode_blob(arr: np.ndarray) -> bytes:
+    shape_payload = len_field(1, b"".join(varint(d) for d in arr.shape))
+    data = arr.astype("<f4").tobytes()
+    return len_field(7, shape_payload) + len_field(5, data)
+
+
+def encode_layer(name: str, blobs, *, v1: bool = False) -> bytes:
+    nf, bf = (4, 6) if v1 else (1, 7)
+    payload = len_field(nf, name.encode())
+    for b in blobs:
+        payload += len_field(bf, encode_blob(b))
+    return payload
+
+
+def encode_net(layers, *, v1: bool = False) -> bytes:
+    field = 2 if v1 else 100
+    out = len_field(1, b"testnet")
+    for name, blobs in layers:
+        out += len_field(field, encode_layer(name, blobs, v1=v1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("v1", [False, True])
+def test_parse_roundtrip(tmp_path, v1, rng):
+    w = rng.randn(8, 3, 3, 3).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    fc = rng.randn(10, 32).astype(np.float32)
+    path = tmp_path / "net.caffemodel"
+    path.write_bytes(encode_net(
+        [("conv1", [w, b]), ("fc", [fc])], v1=v1))
+    out = CM.parse_caffemodel(str(path))
+    assert set(out) == {"conv1", "fc"}
+    np.testing.assert_array_equal(out["conv1"][0], w)
+    np.testing.assert_array_equal(out["conv1"][1], b)
+    np.testing.assert_array_equal(out["fc"][0], fc)
+
+
+def test_parse_legacy_dims(tmp_path, rng):
+    """Blobs with num/channels/height/width instead of shape."""
+    w = rng.randn(4, 2, 3, 3).astype(np.float32)
+    legacy = (tag(1, 0) + varint(4) + tag(2, 0) + varint(2)
+              + tag(3, 0) + varint(3) + tag(4, 0) + varint(3)
+              + len_field(5, w.astype("<f4").tobytes()))
+    payload = len_field(100, len_field(1, b"c") + len_field(7, legacy))
+    path = tmp_path / "legacy.caffemodel"
+    path.write_bytes(payload)
+    out = CM.parse_caffemodel(str(path))
+    np.testing.assert_array_equal(out["c"][0], w)
+
+
+def test_conv_layout_matches_torch(rng):
+    """OIHW->HWIO transposed weights through our NHWC conv == torch NCHW."""
+    import torch
+    import torch.nn.functional as F
+    from mscnn_tpu.ops import conv as C
+
+    x = rng.randn(1, 3, 8, 10).astype(np.float32)     # NCHW
+    w = rng.randn(5, 3, 3, 3).astype(np.float32)      # OIHW
+    b = rng.randn(5).astype(np.float32)
+    ref = F.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                   torch.from_numpy(b), padding=1).numpy()  # NCHW
+
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    w_hwio = jnp.asarray(CM._conv_to_hwio(w))
+    y = C.conv2d(x_nhwc, w_hwio, jnp.asarray(b), padding=1)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y), (0, 3, 1, 2)), ref, atol=1e-4)
+
+
+def test_deconv_layout_matches_torch(rng):
+    """Grouped bilinear deconv kernel mapping vs torch conv_transpose2d."""
+    import torch
+    import torch.nn.functional as F
+    from mscnn_tpu.ops import conv as C
+
+    ch = 6
+    x = rng.randn(1, ch, 5, 7).astype(np.float32)
+    w = rng.randn(ch, 1, 4, 4).astype(np.float32)     # [C, 1, kh, kw] grouped
+    ref = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                             stride=2, padding=1, groups=ch).numpy()
+
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    w_dw = jnp.asarray(CM._deconv_to_depthwise(w))
+    y = C.deconv2d(x_nhwc, w_dw, stride=2, pad=1, groups=ch)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y), (0, 3, 1, 2)), ref, atol=1e-4)
+
+
+def test_fc_after_pool_reorder(rng):
+    """NCHW-flatten FC weights re-ordered for NHWC flatten: both paths give
+    the same output on the same underlying activation."""
+    c, s, out_dim = 4, 3, 6
+    act = rng.randn(1, c, s, s).astype(np.float32)    # NCHW activation
+    w = rng.randn(out_dim, c * s * s).astype(np.float32)
+    ref = w @ act.reshape(-1)
+
+    act_nhwc = np.transpose(act, (0, 2, 3, 1)).reshape(-1)
+    w_reordered = CM._fc_after_pool(w, s, c)
+    np.testing.assert_allclose(act_nhwc @ w_reordered, ref, atol=1e-4)
+
+
+def test_load_caffemodel_params(tmp_path, rng):
+    from mscnn_tpu.utils import fillers
+
+    w = rng.randn(16, 3, 3, 3).astype(np.float32)
+    b = rng.randn(16).astype(np.float32)
+    bad = rng.randn(9, 3, 3, 3).astype(np.float32)     # wrong out channels
+    path = tmp_path / "m.caffemodel"
+    path.write_bytes(encode_net(
+        [("conv1_1", [w, b]), ("conv1_2", [bad, b[:9]])]))
+
+    params = {
+        "conv1_1": {"w": jnp.zeros((3, 3, 3, 16)), "b": jnp.zeros(16)},
+        "conv1_2": {"w": jnp.zeros((3, 3, 3, 16)), "b": jnp.zeros(16)},
+        "fresh": {"w": jnp.ones((4, 4))},
+    }
+    out, report = CM.load_caffemodel_params(str(path), params)
+    assert report["copied"] == ["conv1_1"]
+    assert ("conv1_2" in [m[0] for m in report["mismatched"]])
+    assert report["skipped"] == ["fresh"]
+    np.testing.assert_allclose(out["conv1_1"]["w"],
+                               CM._conv_to_hwio(w), atol=1e-6)
+    np.testing.assert_allclose(out["conv1_1"]["b"], b, atol=1e-6)
+    np.testing.assert_allclose(out["conv1_2"]["w"], 0.0)  # kept template
