@@ -103,6 +103,7 @@ class MSCNNConfig:
     roi_pad_ratio: float = 0.25
     roi_spatial_scale: float = 0.25
     roi_samples: int = 8       # sample grid per pooling bin
+    roi_method: str = "exact"  # "fast" = shared sliding-max-table lookups
     roi_align: bool = False    # Cascade variants use ROIAlign
     fc_dim: int = 4096
     dropout: float = 0.5
@@ -338,12 +339,22 @@ def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
         feat = upsampled_roi_feature(params, conv4_3, cfg)
     scale = cfg.roi_spatial_scale
 
-    pool_fn = roi_ops.roi_align if cfg.roi_align else roi_ops.roi_max_pool
-    kwargs = {} if cfg.roi_align else {"samples": cfg.roi_samples}
-    org = pool_fn(feat, batch_idx, rois, valid, spatial_scale=scale,
-                  pad_ratio=0.0, pooled=cfg.roi_pooled, **kwargs)
-    ctx = pool_fn(feat, batch_idx, rois, valid, spatial_scale=scale,
-                  pad_ratio=cfg.roi_pad_ratio, pooled=cfg.roi_pooled, **kwargs)
+    if cfg.roi_align:
+        pool = lambda pr: roi_ops.roi_align(  # noqa: E731
+            feat, batch_idx, rois, valid, spatial_scale=scale,
+            pad_ratio=pr, pooled=cfg.roi_pooled)
+    elif cfg.roi_method == "fast":
+        table = roi_ops.sliding_max_table(feat, 2)
+        pool = lambda pr: roi_ops.roi_max_pool_fast(  # noqa: E731
+            table, batch_idx, rois, valid, spatial_scale=scale,
+            pad_ratio=pr, pooled=cfg.roi_pooled,
+            samples=max(cfg.roi_samples // 2, 2), table_k=2, is_table=True)
+    else:
+        pool = lambda pr: roi_ops.roi_max_pool(  # noqa: E731
+            feat, batch_idx, rois, valid, spatial_scale=scale,
+            pad_ratio=pr, pooled=cfg.roi_pooled, samples=cfg.roi_samples)
+    org = pool(0.0)
+    ctx = pool(cfg.roi_pad_ratio)
     x = jnp.concatenate([org, ctx], axis=-1).astype(cfg.cdtype())
 
     p = params[f"roi_c1{suffix}"]

@@ -100,7 +100,7 @@ def _roi_max_pool_impl(feat, batch_idx, boxes, valid,
 
 def roi_max_pool(feat, batch_idx, boxes, valid, *, spatial_scale: float,
                  pad_ratio: float = 0.0, pooled: int = 7, samples: int = 8):
-    """Context-padded max ROI pooling.
+    """Context-padded max ROI pooling (exact sampling path).
 
     feat: [B, H, W, C]; batch_idx: [R] int; boxes: [R, 4] image-space corners;
     valid: [R] bool. Returns [R, pooled, pooled, C]; invalid rois are zero.
@@ -108,6 +108,105 @@ def roi_max_pool(feat, batch_idx, boxes, valid, *, spatial_scale: float,
     return _roi_max_pool_impl(feat, batch_idx, boxes, valid,
                               float(spatial_scale), float(pad_ratio),
                               int(pooled), int(samples))
+
+
+def sliding_max_table(feat, k: int = 2):
+    """T[h, w] = max over feat[h:h+k, w:w+k] (edge-padded), one streaming
+    pass shared by all pools over the same feature map."""
+    return jax.lax.reduce_window(
+        feat, -jnp.inf if jnp.issubdtype(feat.dtype, jnp.floating)
+        else jnp.iinfo(feat.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (0, k - 1), (0, k - 1), (0, 0)),
+    )
+
+
+@partial(jax.jit, static_argnames=("pooled", "samples", "table_k"))
+def _roi_max_pool_table_impl(table, batch_idx, boxes, valid,
+                             spatial_scale, pad_ratio, pooled, samples,
+                             table_k):
+    """Fast path: bin maxes looked up from a k x k sliding-max table.
+
+    Each lookup at position p covers feat[p : p+k], so ``samples`` stride-k
+    positions cover bins up to samples*k pixels EXACTLY — the same envelope
+    as samples*k point samples on the raw map at 1/k the gather count (the
+    gather is the deploy graph's bottleneck; see BENCH notes). Bins smaller
+    than k overreach by at most k-1 px (the lookup window is clamped inside
+    the bin's start), a deliberate speed/fidelity trade for the deploy path;
+    training and oracle tests use the exact sampling path.
+    """
+    B, H, W, C = table.shape
+    R = boxes.shape[0]
+    S = samples
+    k = table_k
+
+    x1, y1, x2, y2 = [boxes[:, i] for i in range(4)]
+    pad_w = (x2 - x1 + 1.0) * pad_ratio
+    pad_h = (y2 - y1 + 1.0) * pad_ratio
+    start_w = round_half_away((x1 - pad_w) * spatial_scale).astype(jnp.int32)
+    start_h = round_half_away((y1 - pad_h) * spatial_scale).astype(jnp.int32)
+    end_w = round_half_away((x2 + pad_w) * spatial_scale).astype(jnp.int32)
+    end_h = round_half_away((y2 + pad_h) * spatial_scale).astype(jnp.int32)
+    roi_w = jnp.maximum(end_w - start_w + 1, 1)
+    roi_h = jnp.maximum(end_h - start_h + 1, 1)
+
+    lo_h, hi_h = _bin_edges(start_h, roi_h, pooled)
+    lo_w, hi_w = _bin_edges(start_w, roi_w, pooled)
+    lo_h = jnp.clip(lo_h, 0, H)
+    hi_h = jnp.clip(hi_h, 0, H)
+    lo_w = jnp.clip(lo_w, 0, W)
+    hi_w = jnp.clip(hi_w, 0, W)
+    bin_h = hi_h - lo_h  # [R, P]
+    bin_w = hi_w - lo_w
+
+    # Evenly spread lookup positions from lo to hi-k; consecutive gaps are
+    # <= k whenever bin <= S*k, so the k-windows tile the bin exactly.
+    # Larger bins are uniformly subsampled; bins < k clamp to lo (the
+    # window then pokes at most k-1 px past the bin).
+    i = jnp.arange(S, dtype=jnp.int32)
+
+    def positions(lo, hi):
+        bin_ = hi - lo
+        span = jnp.maximum(bin_ - k, 0)[:, :, None]  # [R, P, 1]
+        p = lo[:, :, None] + (span * i[None, None, :]) // max(S - 1, 1)
+        return p
+
+    hpos = jnp.clip(positions(lo_h, hi_h), 0, H - 1)  # [R, P, S]
+    wpos = jnp.clip(positions(lo_w, hi_w), 0, W - 1)
+    bidx = jnp.clip(batch_idx, 0, B - 1)
+
+    def step(acc, s):
+        si, sj = s // S, s % S
+        h = hpos[:, :, si]
+        w = wpos[:, :, sj]
+        g = table[bidx[:, None, None], h[:, :, None], w[:, None, :], :]
+        return jnp.maximum(acc, g), None
+
+    neg = jnp.asarray(-3.0e38, table.dtype)
+    init = jnp.full((R, pooled, pooled, C), neg, table.dtype)
+    out, _ = jax.lax.scan(step, init, jnp.arange(S * S))
+
+    empty = (bin_h[:, :, None] == 0) | (bin_w[:, None, :] == 0)
+    mask = empty | ~valid[:, None, None]
+    return jnp.where(mask[..., None], 0.0, out)
+
+
+def roi_max_pool_fast(feat_or_table, batch_idx, boxes, valid, *,
+                      spatial_scale: float, pad_ratio: float = 0.0,
+                      pooled: int = 7, samples: int = 4, table_k: int = 2,
+                      is_table: bool = False):
+    """Table-accelerated max ROI pooling (deploy fast path).
+
+    Build the table once with sliding_max_table(feat, table_k) and pass
+    is_table=True to share it between the org and ctx pools.
+    """
+    table = feat_or_table if is_table else \
+        sliding_max_table(feat_or_table, table_k)
+    return _roi_max_pool_table_impl(
+        table, batch_idx, boxes, valid, float(spatial_scale),
+        float(pad_ratio), int(pooled), int(samples), int(table_k))
 
 
 @partial(jax.jit, static_argnames=("pooled",))

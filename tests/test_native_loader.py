@@ -62,7 +62,8 @@ def test_native_matches_python_mean_subtraction(disk_dataset):
     import cv2
     wf, root = disk_dataset
     spec = P.DatasetSpec(batch_size=1, max_gts=8, max_ronis=4, shuffle=False)
-    with NL.NativeLoader(wf, _aug(), spec) as loader:
+    # one worker: batch completion order == sample order
+    with NL.NativeLoader(wf, _aug(), spec, num_workers=1) as loader:
         batch = loader.next_batch()
     # unshuffled: first sample is im_0
     img = cv2.imread(str(root / "im_0.png"), cv2.IMREAD_COLOR)
