@@ -44,6 +44,14 @@ def nms_keep_mask(sorted_boxes, sorted_valid, *, iou_thr: float, mode: str = "io
     return jax.lax.fori_loop(0, n, body, sorted_valid)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu" or \
+            jax.devices()[0].platform.startswith(("tpu", "axon"))
+    except Exception:
+        return False
+
+
 def nms_xywh(
     boxes,
     scores,
@@ -52,6 +60,7 @@ def nms_xywh(
     iou_thr: float,
     mode: str = "iou",
     max_out: int,
+    use_pallas: bool = None,
 ):
     """Full fixed-shape greedy NMS, select-and-suppress formulation.
 
@@ -67,7 +76,19 @@ def nms_xywh(
     (box_output_layer.cpp:186-192), so the results are identical while the
     sequential depth drops from N (3000) to max_out (typically 256-512),
     with each step a single [N] VPU pass. No pre-sort is needed.
+
+    On TPU backends (use_pallas=None -> auto) the loop runs as a single
+    Pallas kernel with the working scores resident in VMEM
+    (mscnn_tpu/ops/pallas/nms_kernel.py); this jnp scan is the oracle
+    implementation and the CPU/GPU fallback.
     """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        from mscnn_tpu.ops.pallas import nms_kernel
+        return nms_kernel.nms_pallas(
+            boxes, scores, valid, iou_thr=iou_thr, mode=mode,
+            max_out=max_out)
     n = boxes.shape[0]
     s0 = jnp.where(valid, scores, NEG_INF)
 

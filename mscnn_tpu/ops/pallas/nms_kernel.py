@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: greedy NMS entirely in VMEM.
+
+The candidate set (max_nms_num <= 3072 boxes) is tiny — boxes + scores are
+~60 KB — so the whole greedy select-and-suppress loop runs on-chip: scores
+live in a VMEM scratch buffer, each of the ``max_out`` iterations does one
+VPU argmax + one vectorized IoU row + one masked update, and only the
+[max_out] results ever return to HBM. This is the replacement for the
+reference's host-side nmsMax (/root/reference/src/caffe/layers/
+box_output_layer.cpp:39-63), which pulls every iteration's head outputs
+D2H; here the proposal path never leaves the device.
+
+Data layout: N boxes stored as four [N // 128, 128] planes (x, y, w, h) so
+every step is a full-width VPU op. N must be a multiple of 128 (callers pad
+with invalid entries).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+LANES = 128
+
+
+def _kernel(x_ref, y_ref, w_ref, h_ref, s_ref,
+            outb_ref, outs_ref, outv_ref, s_buf,
+            *, iou_thr: float, mode: str, max_out: int):
+    rows = s_ref.shape[0]
+    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
+    s_buf[:] = s_ref[:]
+    x = x_ref[:]
+    y = y_ref[:]
+    w = w_ref[:]
+    h = h_ref[:]
+    area = w * h
+    box_ok = (w > 0) & (h > 0)
+
+    def body(t, _):
+        s = s_buf[:]
+        m = jnp.max(s)
+        ok = m > NEG / 2
+        at_max = s >= m
+        sel = jnp.min(jnp.where(at_max, flat_idx, jnp.int32(2 ** 30)))
+        is_sel = flat_idx == sel
+
+        def pick(v):
+            return jnp.sum(jnp.where(is_sel, v, 0.0))
+
+        xi, yi, wi, hi = pick(x), pick(y), pick(w), pick(h)
+        si = pick(s)
+
+        # vectorized IoU of the selected box against all candidates
+        tlx = jnp.maximum(x, xi)
+        tly = jnp.maximum(y, yi)
+        brx = jnp.minimum(x + w, xi + wi)
+        bry = jnp.minimum(y + h, yi + hi)
+        over = jnp.maximum(brx - tlx, 0.0) * jnp.maximum(bry - tly, 0.0)
+        area_i = wi * hi
+        if mode == "iomu":
+            denom = jnp.minimum(area, area_i)
+        elif mode == "iofu":
+            # intersection over the FIRST box's area; the suppressor is the
+            # first argument in the oracle's iou_xywh(selected, candidates)
+            denom = area_i * jnp.ones_like(area)
+        else:
+            denom = area + area_i - over
+        iou = jnp.where(box_ok & (wi > 0) & (hi > 0) & (denom > 0),
+                        over / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+        kill = (iou > iou_thr) & ok
+        s_buf[:] = jnp.where(kill | is_sel, NEG, s)
+
+        outb_ref[t, 0] = jnp.where(ok, xi, 0.0)
+        outb_ref[t, 1] = jnp.where(ok, yi, 0.0)
+        outb_ref[t, 2] = jnp.where(ok, wi, 0.0)
+        outb_ref[t, 3] = jnp.where(ok, hi, 0.0)
+        outs_ref[t, 0] = jnp.where(ok, si, 0.0)
+        outv_ref[t, 0] = ok.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, max_out, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iou_thr", "mode", "max_out", "interpret"))
+def nms_pallas(boxes, scores, valid, *, iou_thr: float, mode: str = "iou",
+               max_out: int, interpret: bool = False):
+    """Greedy NMS, Pallas path. Same contract as nms.nms_xywh.
+
+    boxes: [N, 4] (x, y, w, h) f32; scores/valid: [N]. N is padded to a
+    multiple of 128 internally. Returns (boxes [max_out, 4],
+    scores [max_out], valid [max_out]) in descending score order.
+    """
+    n = boxes.shape[0]
+    pad = (-n) % LANES
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    npad = n + pad
+    rows = npad // LANES
+
+    planes = [boxes[:, i].astype(jnp.float32).reshape(rows, LANES)
+              for i in range(4)]
+    s = jnp.where(valid, scores.astype(jnp.float32), NEG).reshape(rows, LANES)
+
+    outb, outs, outv = pl.pallas_call(
+        functools.partial(_kernel, iou_thr=float(iou_thr), mode=mode,
+                          max_out=int(max_out)),
+        out_shape=(
+            jax.ShapeDtypeStruct((max_out, 4), jnp.float32),
+            jax.ShapeDtypeStruct((max_out, 1), jnp.float32),
+            jax.ShapeDtypeStruct((max_out, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        # per-survivor results are written one scalar at a time -> SMEM
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.float32)],
+        interpret=interpret,
+    )(*planes, s)
+
+    ok = outv[:, 0] > 0
+    return outb, jnp.where(ok, outs[:, 0], 0.0), ok
