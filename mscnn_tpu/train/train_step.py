@@ -191,6 +191,21 @@ def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
     """
 
     def grads_and_metrics(params, batch, key):
+        if sspec.iter_size > 1:
+            # gradient accumulation: batch pytree carries a leading
+            # [iter_size] axis of micro-batches (see stack_microbatches);
+            # apply_update divides by iter_size (the Normalize step).
+            def micro(carry, mb_and_key):
+                mb, k = mb_and_key
+                (_, m), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mb, k, cfg, tspec)
+                return jax.tree.map(jnp.add, carry, g), m
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            keys = jax.random.split(key, sspec.iter_size)
+            grads, metrics = jax.lax.scan(micro, zeros, (batch, keys))
+            metrics = jax.tree.map(lambda m: m.mean(0), metrics)
+            return grads, metrics
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, key, cfg, tspec)
         return grads, metrics
@@ -258,6 +273,12 @@ def make_eval_step(cfg: M.MSCNNConfig, tspec: TrainSpec,
         return jax.lax.pmean(step(params, batch, key), axis)
 
     return jax.jit(sharded)
+
+
+def stack_microbatches(batches):
+    """Stack iter_size batch dicts on a new leading axis for the
+    gradient-accumulation path."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
 def replicate_state(train_state, mesh: Mesh):

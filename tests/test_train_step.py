@@ -107,3 +107,33 @@ def test_eval_step(tiny):
     assert np.isfinite(float(metrics["loss"]))
     for k in ("cls_accuracy", "bbox_iou", "det_acc_0"):
         assert k in metrics
+
+
+def test_iter_size_accumulation(tiny):
+    """iter_size=2: grads accumulate over 2 micro-batches, update divides
+    by iter_size (matches a single step on the mean gradient)."""
+    cfg, params = tiny
+    tspec = T.TrainSpec(stage=1, sample_mode="bootstrap", with_metrics=False)
+    b1 = make_batch(cfg, batch=2, seed=1)
+    b2 = make_batch(cfg, batch=2, seed=2)
+
+    sspec_acc = S.SolverSpec(base_lr=1e-3, lr_policy="fixed", momentum=0.0,
+                             weight_decay=0.0, iter_size=2)
+    step_acc = T.make_train_step(cfg, tspec, sspec_acc, donate=False)
+    stacked = T.stack_microbatches([b1, b2])
+    state = {"params": params, "solver": S.init_state(params, sspec_acc)}
+    out_acc, metrics = step_acc(state, stacked, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # manual: mean of the two micro-grads applied once
+    keys = jax.random.split(jax.random.key(0), 2)
+    g1 = jax.grad(lambda p: T.loss_fn(p, b1, keys[0], cfg, tspec)[0])(params)
+    g2 = jax.grad(lambda p: T.loss_fn(p, b2, keys[1], cfg, tspec)[0])(params)
+    gm = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    sspec_one = S.SolverSpec(base_lr=1e-3, lr_policy="fixed", momentum=0.0,
+                             weight_decay=0.0)
+    manual, _, _ = S.apply_update(params, gm,
+                                  S.init_state(params, sspec_one), sspec_one)
+    np.testing.assert_allclose(
+        np.asarray(out_acc["params"]["cls_pred"]["w"], np.float64),
+        np.asarray(manual["cls_pred"]["w"], np.float64), rtol=2e-4)
