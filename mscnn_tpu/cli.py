@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import json
 import sys
 import time as _time
@@ -18,6 +19,11 @@ import time as _time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _cascade_objective(params, batch, key, cfg, tspec, *, ccfg, roi_batch):
+    from mscnn_tpu.models import cascade as CC
+    return CC.loss_fn(params, batch, key, ccfg, tspec, roi_batch=roi_batch)
 
 
 def _build_training(args, solver_path):
@@ -39,11 +45,22 @@ def _build_training(args, solver_path):
     net_path = args.model or os.path.join(
         os.path.dirname(solver_path), str(fields["net"]))
 
-    cfg, tspec, aug, dspec, source = Z.model_from_prototxt(net_path)
+    ccfg = None
+    loss_function = None
+    if Z.is_cascade_prototxt(net_path):
+        from mscnn_tpu.models import cascade as CC
+        ccfg, tspec, aug, dspec, source = Z.cascade_from_prototxt(net_path)
+        cfg = ccfg.base
+        loss_function = functools.partial(
+            _cascade_objective, ccfg=ccfg, roi_batch=tspec.roi_batch)
+    else:
+        cfg, tspec, aug, dspec, source = Z.model_from_prototxt(net_path)
     if args.batch_size:
         dspec = dataclasses.replace(dspec, batch_size=args.batch_size)
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        if ccfg is not None:
+            ccfg = dataclasses.replace(ccfg, base=cfg)
 
     window_file = args.window_file or os.path.join(
         os.path.dirname(net_path), source)
@@ -56,8 +73,14 @@ def _build_training(args, solver_path):
                 f"batch_size {dspec.batch_size} not divisible by "
                 f"{args.devices} devices")
 
-    params = M.init_params(jax.random.key(int(fields.get("random_seed", 0))),
-                           cfg)
+    seed_key = jax.random.key(int(fields.get("random_seed", 0)))
+    if ccfg is not None:
+        from mscnn_tpu.models import cascade as CC
+        params = CC.init_params(seed_key, ccfg)
+        lr_mults = CC.param_lr_multipliers(params, ccfg)
+    else:
+        params = M.init_params(seed_key, cfg)
+        lr_mults = M.param_lr_multipliers(params, cfg)
     if args.weights:
         params = CKPT.restore_params(args.weights, params)
 
@@ -67,9 +90,9 @@ def _build_training(args, solver_path):
 
     step = T.make_train_step(
         cfg, tspec, sspec,
-        lr_mults=M.param_lr_multipliers(params, cfg),
+        lr_mults=lr_mults,
         decay_mults=M.param_decay_multipliers(params, cfg),
-        mesh=mesh)
+        mesh=mesh, loss_function=loss_function)
 
     def device_put(batch):
         batch = jax.tree.map(jnp.asarray, batch)

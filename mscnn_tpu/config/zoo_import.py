@@ -245,6 +245,51 @@ def model_from_prototxt(path: str, *, max_out: int = 512):
     return cfg, tspec, aug, dataset, str(dp.get("source", ""))
 
 
+def is_cascade_prototxt(path: str) -> bool:
+    """True when the trainval net has multiple TRAIN ProposalTarget stages."""
+    net = PB.parse_prototxt_file(path)
+    n = sum(1 for l in PB.layers_by_type(net, "ProposalTarget")
+            if PB.layer_phase(l) in ("TRAIN", "BOTH"))
+    return n > 1
+
+
+def cascade_from_prototxt(path: str, *, max_out: int = 512):
+    """Parse a cascade trainval prototxt -> (CascadeConfig, TrainSpec,
+    AugmentSpec, DatasetSpec, source). Stage thresholds / stds / loss
+    weights come from the per-stage ProposalTarget + loss layers
+    (cascade trainval_2nd.prototxt:1009-1857)."""
+    from mscnn_tpu.models.cascade import CascadeConfig, CascadeStageSpec
+
+    cfg, tspec, aug, ds, source = model_from_prototxt(path, max_out=max_out)
+    net = PB.parse_prototxt_file(path)
+
+    pt_layers = [l for l in PB.layers_by_type(net, "ProposalTarget")
+                 if PB.layer_phase(l) in ("TRAIN", "BOTH")]
+    loss_weights = {}
+    for l in PB.layers_by_type(net, "SoftmaxWithLoss"):
+        loss_weights[str(l.get("name"))] = float(l.get("loss_weight", 1.0))
+    stages = []
+    suffixes = ("", "_2nd", "_3rd", "_4th")
+    for i, l in enumerate(pt_layers):
+        pp = l.get("proposal_target_param", {})
+        br = l.get("bbox_reg_param", {})
+        std = tuple(float(x) for x in PB.as_list(br.get("bbox_std"))) or \
+            (0.1, 0.1, 0.2, 0.2)
+        sfx = suffixes[i]
+        stages.append(CascadeStageSpec(
+            suffix=sfx,
+            fg_thr=float(pp.get("fg_thr", 0.5)),
+            bg_thr_hg=float(pp.get("bg_thr_hg", 0.5)),
+            bg_thr_lw=float(pp.get("bg_thr_lw", 0.1)),
+            bbox_std=std,
+            loss_weight=loss_weights.get(f"loss_cls{sfx}", 1.0),
+            lr_mult=float(2 ** i),
+            keep_all=int(pp.get("batch_size", 256)) < 0,
+        ))
+    return (CascadeConfig(base=cfg, stages=tuple(stages)), tspec, aug, ds,
+            source)
+
+
 def deploy_model_from_prototxt(path: str, *, max_out: int = 512,
                                input_hw: Optional[tuple] = None) -> MSCNNConfig:
     """Parse a deploy prototxt (Input layer + BoxOutput geometry in

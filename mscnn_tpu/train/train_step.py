@@ -181,14 +181,18 @@ def loss_fn(params, batch, key, cfg: M.MSCNNConfig, tspec: TrainSpec):
 
 def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
                     lr_mults=None, decay_mults=None,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+                    mesh: Optional[Mesh] = None, donate: bool = True,
+                    loss_function=None):
     """Build the jitted train step.
 
     Returns step(train_state, batch, key) -> (train_state, metrics) where
     train_state = {"params": ..., "solver": ...}. With a mesh, the batch is
     consumed sharded over the leading axis of every array in `batch` and the
-    params/solver state are fully replicated.
+    params/solver state are fully replicated. loss_function overrides the
+    objective (signature (params, batch, key, cfg, tspec) -> (loss, metrics);
+    the cascade trainer passes models.cascade's variant).
     """
+    objective = loss_function if loss_function is not None else loss_fn
 
     def grads_and_metrics(params, batch, key):
         if sspec.iter_size > 1:
@@ -198,7 +202,7 @@ def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
             def micro(carry, mb_and_key):
                 mb, k = mb_and_key
                 (_, m), g = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, mb, k, cfg, tspec)
+                    objective, has_aux=True)(params, mb, k, cfg, tspec)
                 return jax.tree.map(jnp.add, carry, g), m
 
             zeros = jax.tree.map(jnp.zeros_like, params)
@@ -207,7 +211,7 @@ def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
             metrics = jax.tree.map(lambda m: m.mean(0), metrics)
             return grads, metrics
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, key, cfg, tspec)
+            objective, has_aux=True)(params, batch, key, cfg, tspec)
         return grads, metrics
 
     if mesh is None:

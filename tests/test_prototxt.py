@@ -190,3 +190,23 @@ def test_config_matches_handwritten_zoo():
             for b in ours.branches]
     assert cfg.proposal.fg_thr == ours.proposal.fg_thr
     assert cfg.proposal.iou_thr == ours.proposal.iou_thr
+
+
+@needs_ref
+def test_cascade_import_kitti():
+    cfg_c, tspec, aug, ds, source = Z.cascade_from_prototxt(
+        f"{REF}/kitti_car/cascade-mscnn-7s-576-2x/trainval_2nd.prototxt")
+    assert Z.is_cascade_prototxt(
+        f"{REF}/kitti_car/cascade-mscnn-7s-576-2x/trainval_2nd.prototxt")
+    assert not Z.is_cascade_prototxt(
+        f"{REF}/kitti_car/mscnn-7s-576-2x/trainval_2nd.prototxt")
+    stages = cfg_c.stages
+    assert len(stages) == 3
+    assert [s.fg_thr for s in stages] == [0.5, 0.6, 0.7]
+    assert [s.bg_thr_lw for s in stages] == [0.1, 0.0, 0.0]
+    assert stages[1].bbox_std == (0.05, 0.05, 0.1, 0.1)
+    assert stages[2].bbox_std == (0.033, 0.033, 0.067, 0.067)
+    assert [s.loss_weight for s in stages] == [1.0, 0.5, 0.25]
+    assert [s.keep_all for s in stages] == [False, True, True]
+    assert [s.lr_mult for s in stages] == [1.0, 2.0, 4.0]
+    assert cfg_c.base.num_classes == 5
