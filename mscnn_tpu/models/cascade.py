@@ -197,7 +197,8 @@ def loss_fn(params, batch, key, ccfg: CascadeConfig, tspec,
         total = total + tspec.branch_loss_weight * li
         metrics[f"det_loss_{i}"] = li
 
-    prop = M.propose(outs, cfg)
+    # BoxOutput never backprops (propagate_down: 0 in the reference)
+    prop = M.propose(jax.tree.map(jax.lax.stop_gradient, outs), cfg)
     stage_total, stage_metrics = cascade_losses(
         params, feats, prop, batch, ccfg, k_stages, roi_batch=roi_batch,
         with_metrics=tspec.with_metrics)

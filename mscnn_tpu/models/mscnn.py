@@ -321,7 +321,8 @@ def upsampled_roi_feature(params, conv4_3, cfg: MSCNNConfig):
     """The shared ROI source map (conv4_3, 2x bilinear-upsampled when
     configured) — computed once and fed to every cascade stage."""
     if cfg.use_2x_upsample:
-        return C.upsample2x_bilinear(conv4_3, params["conv4_3_2x"]["w"])
+        return C.upsample2x_bilinear(
+            conv4_3, params["conv4_3_2x"]["w"].astype(conv4_3.dtype))
     return conv4_3
 
 

@@ -28,12 +28,16 @@ def conv2d(x, w, b=None, *, stride: int = 1, padding="SAME"):
     """
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    # The MXU accumulates in f32 regardless of output dtype; requesting an
+    # f32 output for low-precision inputs breaks the conv transpose rule
+    # under autodiff (jax 0.9), so only ask for it when inputs are f32.
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -98,7 +102,7 @@ def deconv2d(x, w, b=None, *, stride: int = 2, pad: int = 1, groups: int = 1):
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -127,7 +131,8 @@ def upsample2x_bilinear(x, kernel=None):
 
 def dense(x, w, b=None):
     """Fully-connected layer: x [..., D] @ w [D, O]."""
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
+    y = jnp.dot(x, w, preferred_element_type=pet)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y.astype(x.dtype)

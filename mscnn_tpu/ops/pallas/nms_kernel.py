@@ -28,9 +28,13 @@ LANES = 128
 
 
 def _kernel(x_ref, y_ref, w_ref, h_ref, s_ref,
-            outb_ref, outs_ref, outv_ref, s_buf,
+            out_ref, s_buf,
             *, iou_thr: float, mode: str, max_out: int):
+    """out_ref: [max_out, 128] VMEM; lanes 0-3 = box xywh, 4 = score,
+    5 = valid flag. Vector row-stores avoid SMEM (scalar stores are
+    disallowed to VMEM and SMEM output windows are tiny)."""
     rows = s_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
     s_buf[:] = s_ref[:]
@@ -76,12 +80,14 @@ def _kernel(x_ref, y_ref, w_ref, h_ref, s_ref,
         kill = (iou > iou_thr) & ok
         s_buf[:] = jnp.where(kill | is_sel, NEG, s)
 
-        outb_ref[t, 0] = jnp.where(ok, xi, 0.0)
-        outb_ref[t, 1] = jnp.where(ok, yi, 0.0)
-        outb_ref[t, 2] = jnp.where(ok, wi, 0.0)
-        outb_ref[t, 3] = jnp.where(ok, hi, 0.0)
-        outs_ref[t, 0] = jnp.where(ok, si, 0.0)
-        outv_ref[t, 0] = ok.astype(jnp.int32)
+        okf = ok.astype(jnp.float32)
+        row = jnp.where(lane == 0, xi * okf,
+              jnp.where(lane == 1, yi * okf,
+              jnp.where(lane == 2, wi * okf,
+              jnp.where(lane == 3, hi * okf,
+              jnp.where(lane == 4, si * okf,
+              jnp.where(lane == 5, okf, 0.0))))))
+        out_ref[pl.ds(t, 1), :] = row
         return 0
 
     jax.lax.fori_loop(0, max_out, body, 0)
@@ -110,22 +116,15 @@ def nms_pallas(boxes, scores, valid, *, iou_thr: float, mode: str = "iou",
               for i in range(4)]
     s = jnp.where(valid, scores.astype(jnp.float32), NEG).reshape(rows, LANES)
 
-    outb, outs, outv = pl.pallas_call(
+    packed = pl.pallas_call(
         functools.partial(_kernel, iou_thr=float(iou_thr), mode=mode,
                           max_out=int(max_out)),
-        out_shape=(
-            jax.ShapeDtypeStruct((max_out, 4), jnp.float32),
-            jax.ShapeDtypeStruct((max_out, 1), jnp.float32),
-            jax.ShapeDtypeStruct((max_out, 1), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((max_out, LANES), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        # per-survivor results are written one scalar at a time -> SMEM
-        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.float32)],
         interpret=interpret,
     )(*planes, s)
 
-    ok = outv[:, 0] > 0
-    return outb, jnp.where(ok, outs[:, 0], 0.0), ok
+    ok = packed[:, 5] > 0.5
+    return packed[:, :4], packed[:, 4], ok

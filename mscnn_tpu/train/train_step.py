@@ -144,7 +144,10 @@ def loss_fn(params, batch, key, cfg: M.MSCNNConfig, tspec: TrainSpec):
             metrics[f"det_boxiou_{i}"] = acc["boxiou"]
 
     if tspec.stage >= 2:
-        prop = M.propose(outs, cfg)
+        # BoxOutput never backprops in the reference (propagate_down: 0);
+        # stopping gradients here also keeps the non-differentiable Pallas
+        # NMS kernel out of the autodiff graph.
+        prop = M.propose(jax.tree.map(jax.lax.stop_gradient, outs), cfg)
         batch_idx, boxes, _, valid = M.flatten_proposals(prop)
         gt_flat, gt_valid_flat = _flatten_gts(batch["gt_boxes"], batch["gt_valid"])
         pts = proposal_target_spec(cfg, tspec, batch["image"].shape[0])

@@ -137,3 +137,20 @@ def test_iter_size_accumulation(tiny):
     np.testing.assert_allclose(
         np.asarray(out_acc["params"]["cls_pred"]["w"], np.float64),
         np.asarray(manual["cls_pred"]["w"], np.float64), rtol=2e-4)
+
+
+def test_bf16_training_step(tiny):
+    """bfloat16 compute path trains end-to-end (grads flow, loss finite)."""
+    import dataclasses
+    cfg, _ = tiny
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    params = M.init_params(jax.random.key(0), cfg16)
+    tspec = T.TrainSpec(stage=2, roi_batch=16, with_metrics=False)
+    sspec = S.SolverSpec(base_lr=1e-4, lr_policy="fixed")
+    step = T.make_train_step(cfg16, tspec, sspec, donate=False)
+    batch = make_batch(cfg16)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay f32 (master weights), loss computed through bf16 trunk
+    assert state["params"]["conv3_1"]["w"].dtype == jnp.float32
