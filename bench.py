@@ -27,8 +27,7 @@ def main():
 
     cfg = zoo.kitti_car_7s_576_2x(deploy=True, max_out=256)
     cfg = dataclasses.replace(cfg, input_hw=(768, 2560),
-                              compute_dtype="bfloat16",
-                              roi_method="fast")
+                              compute_dtype="bfloat16")
 
     batch = 1
     params = M.init_params(jax.random.key(0), cfg)
