@@ -1,0 +1,281 @@
+"""Generic net builder: arbitrary prototxt-defined feedforward graphs.
+
+The reference's Net (src/caffe/net.cpp:49-284) turns a NetParameter into an
+executable DAG of registered layers. Here the same prototxt becomes a pair
+of pure functions — init(key) -> params and apply(params, inputs) -> blobs —
+assembled from the mscnn_tpu.ops registry, so any classic
+classification-style prototxt (LeNet, CaffeNet, ...) trains under the same
+solver/loop machinery as the MS-CNN models. Phase include/exclude rules are
+honored; loss tops accumulate weighted into blobs["loss"].
+
+Layout note: activations are NHWC (TPU-native) rather than Caffe's NCHW;
+channel-axis parameters (concat axis 1, etc.) are remapped. Weight import
+from .caffemodel goes through io/caffemodel's layout transposers.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mscnn_tpu.config import prototxt as PB
+from mscnn_tpu.ops import conv as C
+from mscnn_tpu.ops import layers as LY
+from mscnn_tpu.utils import fillers
+
+ACTIVATIONS = {
+    "ReLU": lambda x, p: LY.relu(x, float(p.get("relu_param", {})
+                                          .get("negative_slope", 0.0))),
+    "Sigmoid": lambda x, p: LY.sigmoid(x),
+    "TanH": lambda x, p: LY.tanh(x),
+    "ELU": lambda x, p: LY.elu(x, float(p.get("elu_param", {})
+                                        .get("alpha", 1.0))),
+    "BNLL": lambda x, p: LY.bnll(x),
+    "AbsVal": lambda x, p: LY.absval(x),
+    "Power": lambda x, p: LY.power(
+        x, float(p.get("power_param", {}).get("power", 1.0)),
+        float(p.get("power_param", {}).get("scale", 1.0)),
+        float(p.get("power_param", {}).get("shift", 0.0))),
+    "Exp": lambda x, p: LY.exp(x),
+    "Log": lambda x, p: LY.log(x),
+    "Threshold": lambda x, p: LY.threshold(
+        x, float(p.get("threshold_param", {}).get("threshold", 0.0))),
+}
+
+
+def _axis(caffe_axis: int) -> int:
+    """NCHW axis -> NHWC axis (channels 1 -> -1)."""
+    return {0: 0, 1: -1, 2: 1, 3: 2}.get(caffe_axis, caffe_axis)
+
+
+def _filler(fp, key, shape, fan_in):
+    ftype = str(fp.get("type", "constant")) if fp else "constant"
+    if ftype == "constant":
+        return fillers.constant(shape, float(fp.get("value", 0.0)) if fp else 0.0)
+    if ftype == "gaussian":
+        return fillers.gaussian(key, shape, float(fp.get("std", 0.01)),
+                                float(fp.get("mean", 0.0)))
+    if ftype == "uniform":
+        return fillers.uniform(key, shape, float(fp.get("min", 0.0)),
+                               float(fp.get("max", 1.0)))
+    if ftype == "xavier":
+        return fillers.xavier(key, shape)
+    if ftype == "msra":
+        return fillers.msra(key, shape)
+    if ftype == "positive_unitball":
+        return fillers.positive_unitball(key, shape)
+    raise ValueError(f"unsupported filler {ftype!r}")
+
+
+class Net:
+    """Executable net from a NetParameter (text prototxt)."""
+
+    def __init__(self, source: str, phase: str = "TRAIN",
+                 input_shapes: Optional[Dict[str, tuple]] = None):
+        self.proto = PB.parse_prototxt_file(source) if "\n" not in source \
+            else PB.parse_prototxt(source)
+        self.phase = phase
+        self.layers = [l for l in PB.layers(self.proto)
+                       if PB.layer_phase(l) in (phase, "BOTH")]
+        self.input_shapes = dict(input_shapes or {})
+        # legacy top-level inputs
+        for name in PB.as_list(self.proto.get("input")):
+            dims = [int(d) for d in PB.as_list(self.proto.get("input_dim"))]
+            if dims and name not in self.input_shapes:
+                n, c, h, w = dims[:4]
+                self.input_shapes[name] = (n, h, w, c)
+
+    # -- parameter initialization -------------------------------------------
+
+    def init(self, key) -> dict:
+        params: dict = {}
+        shapes = dict(self.input_shapes)
+        keys = iter(jax.random.split(key, max(len(self.layers) * 2, 2)))
+
+        for layer in self.layers:
+            ltype = layer.get("type")
+            name = str(layer.get("name"))
+            bots = [str(b) for b in PB.as_list(layer.get("bottom"))]
+            tops = [str(t) for t in PB.as_list(layer.get("top"))]
+            in_shape = shapes.get(bots[0]) if bots else None
+
+            if ltype == "Input":
+                shape = [int(d) for d in PB.as_list(
+                    layer["input_param"]["shape"]["dim"])]
+                n, c, h, w = shape
+                shapes[tops[0]] = (n, h, w, c)
+                continue
+            if ltype == "Convolution":
+                cp = layer.get("convolution_param", {})
+                k = int(cp.get("kernel_size", 3))
+                kh = int(cp.get("kernel_h", k))
+                kw = int(cp.get("kernel_w", k))
+                out_c = int(cp["num_output"])
+                group = int(cp.get("group", 1))
+                in_c = in_shape[-1] // group
+                wshape = (kh, kw, in_c, out_c)
+                params[name] = {
+                    "w": _filler(cp.get("weight_filler"), next(keys), wshape,
+                                 kh * kw * in_c),
+                    "b": _filler(cp.get("bias_filler"), next(keys), (out_c,),
+                                 out_c) if cp.get("bias_term", True) else None,
+                }
+                stride = int(cp.get("stride", 1))
+                pad = int(cp.get("pad", 0))
+                oh = (in_shape[1] + 2 * pad - kh) // stride + 1
+                ow = (in_shape[2] + 2 * pad - kw) // stride + 1
+                shapes[tops[0]] = (in_shape[0], oh, ow, out_c)
+            elif ltype == "InnerProduct":
+                ip = layer.get("inner_product_param", {})
+                out_d = int(ip["num_output"])
+                in_d = 1
+                for d in in_shape[1:]:
+                    in_d *= d
+                params[name] = {
+                    "w": _filler(ip.get("weight_filler"), next(keys),
+                                 (in_d, out_d), in_d),
+                    "b": _filler(ip.get("bias_filler"), next(keys), (out_d,),
+                                 out_d) if ip.get("bias_term", True) else None,
+                }
+                shapes[tops[0]] = (in_shape[0], out_d)
+            elif ltype == "Pooling":
+                pp = layer.get("pooling_param", {})
+                if pp.get("global_pooling", False):
+                    shapes[tops[0]] = (in_shape[0], 1, 1, in_shape[-1])
+                else:
+                    k = int(pp.get("kernel_size", 2))
+                    s = int(pp.get("stride", k))
+                    pad = int(pp.get("pad", 0))
+                    import math
+                    oh = math.ceil((in_shape[1] + 2 * pad - k) / s) + 1
+                    ow = math.ceil((in_shape[2] + 2 * pad - k) / s) + 1
+                    if pad > 0:
+                        if (oh - 1) * s >= in_shape[1] + pad:
+                            oh -= 1
+                        if (ow - 1) * s >= in_shape[2] + pad:
+                            ow -= 1
+                    shapes[tops[0]] = (in_shape[0], oh, ow, in_shape[-1])
+            elif ltype == "Concat":
+                ax = _axis(int(layer.get("concat_param", {}).get("axis", 1)))
+                base = list(shapes[bots[0]])
+                base[ax] = sum(shapes[b][ax] for b in bots)
+                shapes[tops[0]] = tuple(base)
+            elif ltype == "Flatten":
+                n = in_shape[0]
+                d = 1
+                for s in in_shape[1:]:
+                    d *= s
+                shapes[tops[0]] = (n, d)
+            elif ltype in ("SoftmaxWithLoss", "Accuracy", "Softmax",
+                           "EuclideanLoss"):
+                if ltype == "Softmax" and tops:
+                    shapes[tops[0]] = in_shape
+            else:
+                # shape-preserving ops (activations, LRN, Dropout, Eltwise,
+                # Scale with learned params below, Split)
+                if ltype == "Scale":
+                    sp = layer.get("scale_param", {})
+                    ch = in_shape[-1]
+                    params[name] = {"w": jnp.ones(ch)}
+                    if sp.get("bias_term", False):
+                        params[name]["b"] = jnp.zeros(ch)
+                for t in tops:
+                    shapes[t] = in_shape
+        self.shapes = shapes
+        return {k: {kk: vv for kk, vv in v.items() if vv is not None}
+                for k, v in params.items()}
+
+    # -- forward --------------------------------------------------------------
+
+    def apply(self, params: dict, inputs: Dict[str, jax.Array],
+              train: bool = False, key=None) -> Dict[str, jax.Array]:
+        blobs: Dict[str, jax.Array] = dict(inputs)
+        loss = 0.0
+        k_iter = iter(jax.random.split(key, 16)) if key is not None else None
+
+        for layer in self.layers:
+            ltype = str(layer.get("type"))
+            name = str(layer.get("name"))
+            bots = [blobs[str(b)] for b in PB.as_list(layer.get("bottom"))]
+            tops = [str(t) for t in PB.as_list(layer.get("top"))]
+
+            if ltype in ("Input", "Data", "ImageData", "MemoryData"):
+                continue
+            if ltype == "Convolution":
+                cp = layer.get("convolution_param", {})
+                p = params[name]
+                out = C.conv2d(bots[0], p["w"], p.get("b"),
+                               stride=int(cp.get("stride", 1)),
+                               padding=int(cp.get("pad", 0)))
+            elif ltype == "InnerProduct":
+                p = params[name]
+                x = bots[0].reshape(bots[0].shape[0], -1)
+                out = C.dense(x, p["w"], p.get("b"))
+            elif ltype == "Pooling":
+                pp = layer.get("pooling_param", {})
+                mode = str(pp.get("pool", "MAX")).upper()
+                fn = C.max_pool if mode == "MAX" else C.avg_pool
+                if pp.get("global_pooling", False):
+                    out = bots[0].max(axis=(1, 2), keepdims=True) \
+                        if mode == "MAX" else \
+                        bots[0].mean(axis=(1, 2), keepdims=True)
+                else:
+                    k = int(pp.get("kernel_size", 2))
+                    out = fn(bots[0], k, int(pp.get("stride", k)),
+                             int(pp.get("pad", 0)))
+            elif ltype in ACTIVATIONS:
+                out = ACTIVATIONS[ltype](bots[0], layer)
+            elif ltype == "LRN":
+                lp = layer.get("lrn_param", {})
+                out = LY.lrn(bots[0], int(lp.get("local_size", 5)),
+                             float(lp.get("alpha", 1.0)),
+                             float(lp.get("beta", 0.75)),
+                             float(lp.get("k", 1.0)))
+            elif ltype == "Dropout":
+                ratio = float(layer.get("dropout_param", {})
+                              .get("dropout_ratio", 0.5))
+                out = C.dropout(bots[0], ratio,
+                                next(k_iter) if k_iter else None, train)
+            elif ltype == "Concat":
+                ax = _axis(int(layer.get("concat_param", {}).get("axis", 1)))
+                out = LY.concat(bots, axis=ax)
+            elif ltype == "Eltwise":
+                ep = layer.get("eltwise_param", {})
+                op = str(ep.get("operation", "SUM")).lower()
+                coeffs = [float(c) for c in PB.as_list(ep.get("coeff"))] or None
+                out = LY.eltwise(bots, op, coeffs)
+            elif ltype == "Flatten":
+                out = LY.flatten(bots[0])
+            elif ltype == "Scale":
+                p = params[name]
+                out = LY.scale(bots[0], p["w"], p.get("b"))
+            elif ltype == "Split":
+                for t in tops:
+                    blobs[t] = bots[0]
+                continue
+            elif ltype == "Softmax":
+                out = jax.nn.softmax(bots[0], axis=-1)
+            elif ltype == "SoftmaxWithLoss":
+                logits, labels = bots[0], bots[1].astype(jnp.int32)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                picked = jnp.take_along_axis(logp, labels[:, None], -1)[:, 0]
+                out = -picked.mean()
+                loss = loss + float(layer.get("loss_weight", 1.0)) * out
+            elif ltype == "EuclideanLoss":
+                out = LY.euclidean_loss(bots[0], bots[1])
+                loss = loss + float(layer.get("loss_weight", 1.0)) * out
+            elif ltype == "Accuracy":
+                out = LY.accuracy(bots[0], bots[1].astype(jnp.int32))
+            elif ltype == "Silence":
+                continue
+            else:
+                raise NotImplementedError(
+                    f"layer type {ltype!r} (layer {name!r}) is not supported "
+                    f"by the generic net builder")
+            if tops:
+                blobs[tops[0]] = out
+
+        blobs["loss"] = loss
+        return blobs
