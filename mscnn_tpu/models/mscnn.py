@@ -113,6 +113,12 @@ class MSCNNConfig:
     fc_dim: int = 4096
     dropout: float = 0.5
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
+    # run conv1_1/conv1_2/pool1 on the 2x2 space-to-depth transform
+    # (exact equivalence; see ops/s2d.py). Measured NET-SLOWER on v5e with
+    # the current XLA (the structured kernel's 4x FLOPs outweigh the
+    # occupancy gain: bench 36.9 -> 32.1 img/s), so off by default; kept as
+    # an option for future XLA versions / other chips.
+    s2d_conv1: bool = False
 
     @property
     def head_channels(self) -> int:
@@ -256,7 +262,16 @@ def trunk(params, x, cfg: MSCNNConfig):
     x: [B, H, W, 3] (BGR, mean-subtracted). Returns the feature dict."""
     x = x.astype(cfg.cdtype())
     feats = {}
-    for lname, _ in VGG_BLOCKS:
+    blocks = list(VGG_BLOCKS)
+    if cfg.s2d_conv1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        from mscnn_tpu.ops import s2d
+        x = s2d.conv1_block_s2d(
+            x, params["conv1_1"]["w"].astype(x.dtype), params["conv1_1"]["b"],
+            params["conv1_2"]["w"].astype(x.dtype), params["conv1_2"]["b"])
+        feats["pool1"] = x
+        blocks = blocks[2:]  # conv1_1 / conv1_2 consumed (full-res feats
+        #                      are never read downstream)
+    for lname, _ in blocks:
         x = _cb(params, lname, x)
         feats[lname] = x
         if lname in POOL_AFTER:
