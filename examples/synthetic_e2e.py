@@ -1,0 +1,96 @@
+"""End-to-end quality validation on synthetic data.
+
+Trains the tiny MS-CNN config from scratch on procedurally generated
+bright-box scenes, runs the full deploy pipeline (BoxOutput proposals ->
+ROI head -> per-class NMS), and scores with the official KITTI AP protocol.
+Reaches AP 100 (moderate/hard) in ~6000 steps (~1 min on one v5e chip,
+longer on CPU) — the framework's learn-detect-evaluate loop verified with
+no external data.
+
+Run: PYTHONPATH=. python examples/synthetic_e2e.py
+(on the TPU container: PYTHONPATH=.:/root/.axon_site)
+"""
+import jax
+import dataclasses
+import numpy as np
+import jax.numpy as jnp
+from mscnn_tpu.models import mscnn as M, zoo
+from mscnn_tpu.train import solver as S, train_step as T
+from mscnn_tpu.data import rasterize as R
+from mscnn_tpu import inference as I
+from mscnn_tpu.evaluation import kitti_eval as KE
+
+cfg = zoo.tiny_test_config(num_classes=2)
+H, W = cfg.input_hw
+rng = np.random.RandomState(0)
+
+def sample_scene(rng, n_max=3):
+    img = rng.rand(H, W, 3).astype(np.float32) * 0.3
+    n = rng.randint(1, n_max + 1)
+    gts = []
+    for _ in range(n):
+        for _try in range(20):
+            bw = rng.randint(25, 40); bh = rng.randint(25, 40)
+            x1 = rng.randint(0, W - bw); y1 = rng.randint(0, H - bh)
+            clear = all(x1 + bw + 2 < g[0] or g[2] + 2 < x1
+                        or y1 + bh + 2 < g[1] or g[3] + 2 < y1 for g in gts)
+            if clear:
+                img[y1:y1+bh, x1:x1+bw] = rng.rand() * 0.3 + 0.7
+                gts.append([x1, y1, x1+bw, y1+bh, 1.0, 0.0])
+                break
+    return img * 255.0 - 127.0, np.asarray(gts, np.float32)
+
+def make_batch(rng, b=4, gmax=4):
+    # labels rasterized ON DEVICE inside the step (no "labels" key)
+    imgs = []
+    gt7 = np.zeros((b, gmax, 7), np.float32)
+    gv = np.zeros((b, gmax), bool)
+    for i in range(b):
+        img, gts = sample_scene(rng)
+        imgs.append(img)
+        g = len(gts)
+        gt7[i, :g, 0] = i; gt7[i, :g, 1:5] = gts[:, :4]; gt7[i, :g, 5] = 1.0
+        gv[i, :g] = True
+    return {
+        "image": jnp.asarray(np.stack(imgs)),
+        "gt_boxes": jnp.asarray(gt7), "gt_valid": jnp.asarray(gv),
+        "ronis": jnp.zeros((b, 1, 4), jnp.float32),
+        "roni_valid": jnp.zeros((b, 1), bool),
+        "copy_region": jnp.broadcast_to(jnp.asarray([0.0, 0.0, W, H], jnp.float32), (b, 4)),
+    }
+
+params = M.init_params(jax.random.key(0), cfg)
+tspec = T.TrainSpec(stage=2, roi_batch=32, with_metrics=False)
+sspec = S.SolverSpec(base_lr=5e-5, lr_policy="step", stepsize=4500, momentum=0.9, weight_decay=5e-4)
+step = T.make_train_step(cfg, tspec, sspec,
+                         lr_mults=M.param_lr_multipliers(params, cfg),
+                         decay_mults=M.param_decay_multipliers(params, cfg), donate=False)
+state = {"params": params, "solver": S.init_state(params, sspec)}
+import time
+t0 = time.time()
+pool = [make_batch(rng) for _ in range(16)]
+for i in range(6000):
+    state, m = step(state, pool[i % 16], jax.random.key(i))
+    if i % 2000 == 0:
+        print(f"it {i}: loss {float(m['loss']):.3f} ({time.time()-t0:.0f}s)", flush=True)
+
+# --- deploy + eval -----------------------------------------------------------
+dcfg = dataclasses.replace(cfg, proposal=dataclasses.replace(cfg.proposal, fg_thr=-5.0))
+fwd = I.make_forward(state["params"], dcfg)
+spec = I.DetectSpec(max_per_class=16)
+gts_all, dets_all = [], []
+rng2 = np.random.RandomState(99)
+for k in range(60):
+    img, gts = sample_scene(rng2)
+    bgr = np.clip(img + 127.0, 0, 255).astype(np.uint8)
+    det = I.detect(state["params"], bgr, dcfg, spec, mean_values=(127.0, 127.0, 127.0), fwd=fwd)
+    gts_all.append([KE.KittiObject("pedestrian", 0.0, 0, g[0], g[1], g[2], g[3]) for g in gts])
+    drow = []
+    for bx, sc, v in zip(det["boxes"][0], det["scores"][0], det["valid"][0]):
+        if v:
+            drow.append(KE.KittiObject("pedestrian", -1, -1, bx[0], bx[1], bx[0]+bx[2], bx[1]+bx[3], score=float(sc)))
+    dets_all.append(drow)
+
+for d in range(3):
+    _, ap = KE.eval_class(gts_all, dets_all, "pedestrian", d)
+    print(f"AP[{KE.DIFFICULTIES[d]}] = {ap:.1f}")
