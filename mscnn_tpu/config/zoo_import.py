@@ -169,9 +169,11 @@ def model_from_prototxt(path: str, *, max_out: int = 512):
     roi_pool = _first(net, "ROIAlign") or _first(net, "ROIPooling")
     pad_ratio = 0.25
     pooled = 7
+    spatial_scale = 0.25
     if roi_pool is not None:
         rp = roi_pool.get("roi_pooling_param", {})
         pooled = int(rp.get("pooled_w", 7))
+        spatial_scale = float(rp.get("spatial_scale", 0.25))
         for layer in PB.layers_by_type(
                 net, "ROIAlign" if roi_align else "ROIPooling"):
             r = float(layer.get("roi_pooling_param", {}).get("pad_ratio", 0.0))
@@ -201,6 +203,7 @@ def model_from_prototxt(path: str, *, max_out: int = 512):
         use_2x_upsample=_conv_by_name(net, "conv4_3_2x") is not None,
         roi_pooled=pooled,
         roi_pad_ratio=pad_ratio,
+        roi_spatial_scale=spatial_scale,
         roi_align=roi_align,
     )
 
@@ -318,6 +321,16 @@ def deploy_model_from_prototxt(path: str, *, max_out: int = 512,
     if cls_num is None:
         raise ValueError("deploy net has no cls_pred layer")
 
+    roi_align = _first(net, "ROIAlign") is not None
+    roi_pool = _first(net, "ROIAlign") or _first(net, "ROIPooling")
+    rp = roi_pool.get("roi_pooling_param", {}) if roi_pool else {}
+    pad_ratio = 0.25
+    for layer in PB.layers_by_type(
+            net, "ROIAlign" if roi_align else "ROIPooling"):
+        r = float(layer.get("roi_pooling_param", {}).get("pad_ratio", 0.0))
+        if r > 0:
+            pad_ratio = r
+
     branches = _branches_from_net(net, bp)
     geom = dataclasses.replace(
         MSCNNConfig(),
@@ -327,6 +340,9 @@ def deploy_model_from_prototxt(path: str, *, max_out: int = 512,
         branches=branches,
         extra_layers=_extra_layers_from_net(
             net, [b.source for b in branches]),
+        roi_pooled=int(rp.get("pooled_w", 7)),
+        roi_pad_ratio=pad_ratio,
+        roi_spatial_scale=float(rp.get("spatial_scale", 0.25)),
         proposal=ProposalSpec(
             fg_thr=float(bp.get("fg_thr", -5.0)),
             iou_thr=float(bp.get("iou_thr", 0.65)),

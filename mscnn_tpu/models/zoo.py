@@ -48,6 +48,56 @@ def kitti_car_7s_576_2x(*, deploy: bool = False, max_out: int = 512) -> MSCNNCon
     )
 
 
+def kitti_car_7s_576(*, deploy: bool = False, max_out: int = 512) -> MSCNNConfig:
+    """kitti_car/mscnn-7s-576: as 7s-576-2x but pooling conv4_3 directly
+    (no 2x deconv upsample; roi spatial scale 1/8)."""
+    cfg = kitti_car_7s_576_2x(deploy=deploy, max_out=max_out)
+    return dataclasses.replace(cfg, name="kitti_car/mscnn-7s-576",
+                               use_2x_upsample=False,
+                               roi_spatial_scale=0.125)
+
+
+def kitti_car_7s_384(*, deploy: bool = False, max_out: int = 512) -> MSCNNConfig:
+    """kitti_car/mscnn-7s-384: 384-input model (10 fps in the paper);
+    fields 40-320, resize 1280x384, crop 512x384, no 2x upsample."""
+    fields = (40.0, 56.0, 80.0, 112.0, 160.0, 224.0, 320.0)
+    prop = ProposalSpec(
+        fg_thr=-5.0 if deploy else -8.0, iou_thr=0.65, nms_mode="iou",
+        max_nms_num=2000 if deploy else 3000, max_out=max_out, min_size=15.0)
+    return MSCNNConfig(
+        name="kitti_car/mscnn-7s-384",
+        num_classes=5,
+        input_hw=(384, 1280) if deploy else (384, 512),
+        branches=_branches(fields, fields, _STRIDES_7S, _KERNELS_7S,
+                           _SOURCES_7S),
+        proposal=prop,
+        use_2x_upsample=False,
+        roi_spatial_scale=0.125,
+    )
+
+
+def kitti_car_8s_768(*, deploy: bool = False, max_out: int = 512) -> MSCNNConfig:
+    """kitti_car/mscnn-8s-768-trainval: THE pretrained benchmark model
+    (BASELINE.json); 8 branches up to field 672, resize 2560x768, crop
+    1024x768, pooling from conv4_3 at 1/8."""
+    fields = (60.0, 84.0, 120.0, 168.0, 240.0, 336.0, 480.0, 672.0)
+    sources = _SOURCES_7S + ("pool6",)
+    strides = _STRIDES_7S + (64,)
+    kernels = _KERNELS_7S + (7,)
+    prop = ProposalSpec(
+        fg_thr=-5.0 if deploy else -8.0, iou_thr=0.65, nms_mode="iou",
+        max_nms_num=2000 if deploy else 3000, max_out=max_out, min_size=15.0)
+    return MSCNNConfig(
+        name="kitti_car/mscnn-8s-768-trainval",
+        num_classes=5,
+        input_hw=(768, 2560) if deploy else (768, 1024),
+        branches=_branches(fields, fields, strides, kernels, sources),
+        proposal=prop,
+        use_2x_upsample=False,
+        roi_spatial_scale=0.125,
+    )
+
+
 def kitti_ped_cyc_7s_576_2x(*, deploy: bool = False, max_out: int = 512) -> MSCNNConfig:
     """kitti_ped_cyc/mscnn-7s-576-2x: 3 classes, tall 1.5:1 anchor fields."""
     fw = (40.0, 56.0, 80.0, 112.0, 160.0, 224.0, 320.0)
@@ -173,6 +223,9 @@ def tiny_test_config(num_classes: int = 3, max_out: int = 32) -> MSCNNConfig:
 
 REGISTRY = {
     "kitti_car/mscnn-7s-576-2x": kitti_car_7s_576_2x,
+    "kitti_car/mscnn-7s-576": kitti_car_7s_576,
+    "kitti_car/mscnn-7s-384": kitti_car_7s_384,
+    "kitti_car/mscnn-8s-768-trainval": kitti_car_8s_768,
     "kitti_ped_cyc/mscnn-7s-576-2x": kitti_ped_cyc_7s_576_2x,
     "caltech/mscnn-7s-480-2x": caltech_7s_480_2x,
     "citypersons/mscnn-8s-1344-2x": citypersons_8s_1344_2x,

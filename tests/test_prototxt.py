@@ -210,3 +210,33 @@ def test_cascade_import_kitti():
     assert [s.keep_all for s in stages] == [False, True, True]
     assert [s.lr_mult for s in stages] == [1.0, 2.0, 4.0]
     assert cfg_c.base.num_classes == 5
+
+
+@needs_ref
+def test_8s_768_import_matches_zoo():
+    """The BASELINE benchmark model imports with the right geometry and
+    matches the hand-written zoo entry."""
+    from mscnn_tpu.models import zoo
+    cfg, _, aug, _, _ = Z.model_from_prototxt(
+        f"{REF}/kitti_car/mscnn-8s-768-trainval/trainval_2nd.prototxt")
+    assert len(cfg.branches) == 8
+    assert not cfg.use_2x_upsample
+    assert cfg.roi_spatial_scale == 0.125
+    assert aug.resize_hw == (768, 2560)
+    ours = zoo.kitti_car_8s_768()
+    assert [(b.source, b.kernel, b.stride, b.field_w) for b in cfg.branches] \
+        == [(b.source, b.kernel, b.stride, b.field_w) for b in ours.branches]
+    assert cfg.input_hw == ours.input_hw
+    assert cfg.roi_spatial_scale == ours.roi_spatial_scale
+
+
+@needs_ref
+def test_7s_384_import_matches_zoo():
+    from mscnn_tpu.models import zoo
+    cfg, _, _, _, _ = Z.model_from_prototxt(
+        f"{REF}/kitti_car/mscnn-7s-384/trainval_2nd.prototxt")
+    ours = zoo.kitti_car_7s_384()
+    assert [(b.field_w, b.stride) for b in cfg.branches] == \
+        [(b.field_w, b.stride) for b in ours.branches]
+    assert cfg.input_hw == ours.input_hw
+    assert not cfg.use_2x_upsample
