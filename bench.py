@@ -25,9 +25,10 @@ def main():
     from mscnn_tpu.models import mscnn as M
     from mscnn_tpu.models import zoo
 
-    cfg = zoo.kitti_car_7s_576_2x(deploy=True, max_out=256)
-    cfg = dataclasses.replace(cfg, input_hw=(768, 2560),
-                              compute_dtype="bfloat16")
+    # the BASELINE.json reference model: mscnn-8s-768-trainval, whose deploy
+    # input is natively 768x2560 (run_mscnn_detection.m:36)
+    cfg = zoo.kitti_car_8s_768(deploy=True, max_out=256)
+    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
 
     batch = 1
     params = M.init_params(jax.random.key(0), cfg)
