@@ -229,21 +229,41 @@ def cmd_detect(args):
     from mscnn_tpu.models import mscnn as M
     from mscnn_tpu.models import zoo
 
+    from mscnn_tpu.models.cascade import CascadeConfig
+
     if args.model:
         cfg = Z.deploy_model_from_prototxt(args.model)
     else:
         cfg = zoo.get(args.zoo or "kitti_car/mscnn-7s-576-2x", deploy=True)
+    ccfg = cfg if isinstance(cfg, CascadeConfig) else None
+    if ccfg is not None:
+        cfg = ccfg.base
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        if ccfg is not None:
+            ccfg = dataclasses.replace(ccfg, base=cfg)
 
-    params = M.init_params(jax.random.key(0), cfg)
+    if ccfg is not None:
+        from mscnn_tpu.models import cascade as CC
+        params = CC.init_params(jax.random.key(0), ccfg)
+    else:
+        params = M.init_params(jax.random.key(0), cfg)
     if args.weights:
         params = CKPT.restore_params(args.weights, params)
 
     names = args.class_names.split(",") if args.class_names else \
         I.KITTI_CLASS_NAMES["kitti_car"][: cfg.num_classes]
     spec = I.DetectSpec(score_thr=args.score_thr)
-    fwd = I.make_forward(params, cfg)
+    if ccfg is not None:
+        fwd = I.make_cascade_forward(params, ccfg)
+
+        def run_detect(img):
+            return I.detect_cascade(params, img, ccfg, spec, fwd=fwd)
+    else:
+        fwd = I.make_forward(params, cfg)
+
+        def run_detect(img):
+            return I.detect(params, img, cfg, spec, fwd=fwd)
 
     paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")) +
                    glob.glob(os.path.join(args.image_dir, "*.jpg")))
@@ -252,7 +272,7 @@ def cmd_detect(args):
     t0 = _time.perf_counter()
     for i, path in enumerate(paths):
         img = cv2.imread(path, cv2.IMREAD_COLOR)
-        det = I.detect(params, img, cfg, spec, fwd=fwd)
+        det = run_detect(img)
         stem = os.path.splitext(os.path.basename(path))[0]
         try:
             img_idx = int(stem)

@@ -144,6 +144,60 @@ def make_forward(params, cfg: M.MSCNNConfig):
     return jax.jit(lambda p, im: M.deploy_forward(p, im, cfg))
 
 
+def make_cascade_forward(params, ccfg):
+    """Cascade deploy forward (run_cascademscnn.m reads the 3rd-stage
+    blobs): emits the last-stage rois plus the stage-averaged class
+    probabilities, presented as log-probs so postprocess's softmax
+    reproduces them exactly."""
+    from mscnn_tpu.models import cascade as CC
+
+    def fwd(p, im):
+        out = CC.deploy_forward(p, im, ccfg)
+        out = dict(out)
+        out["cls_pred"] = jnp.log(
+            jnp.maximum(out.pop("cls_prob_avg"), 1e-20))
+        return out
+
+    return jax.jit(fwd)
+
+
+def detect_cascade(params, image_bgr: np.ndarray, ccfg,
+                   spec: DetectSpec = DetectSpec(), *,
+                   mean_values=(104.0, 117.0, 123.0), fwd=None):
+    """Cascade detection: staged refinement, stage-averaged scores (the
+    standard Cascade-R-CNN ensemble), class-agnostic final regression."""
+    if fwd is None:
+        fwd = make_cascade_forward(params, ccfg)
+    # cascade bbox_pred is class-agnostic 8-wide; postprocess slices per
+    # class, so expand the fg slot to every class column
+    cfg = ccfg.base
+
+    def expand(det_out):
+        bp = det_out["bbox_pred"]
+        det_out = dict(det_out)
+        det_out["bbox_pred"] = jnp.tile(bp[:, 4:8], (1, cfg.num_classes))
+        return det_out
+
+    import cv2
+
+    orig_h, orig_w = image_bgr.shape[:2]
+    net_h, net_w = cfg.input_hw
+    resized = cv2.resize(image_bgr, (net_w, net_h),
+                         interpolation=cv2.INTER_LINEAR)
+    x = resized.astype(np.float32) - np.asarray(mean_values, np.float32)
+    outputs = expand(fwd(params, jnp.asarray(x)[None]))
+    ratios = jnp.asarray([net_h / orig_h, net_w / orig_w], jnp.float32)
+    orig_wh = jnp.asarray([orig_w, orig_h], jnp.float32)
+    # the final refinement decodes with the LAST stage's tight bbox std
+    import dataclasses as _dc
+    cfg_last = _dc.replace(cfg, bbox_mean=(0.0,) * 4,
+                           bbox_std=ccfg.stages[-1].bbox_std)
+    boxes, scores, valid = postprocess(outputs, ratios, orig_wh, cfg_last,
+                                       spec)
+    return {"boxes": np.asarray(boxes), "scores": np.asarray(scores),
+            "valid": np.asarray(valid)}
+
+
 # ---------------------------------------------------------------------------
 # KITTI output files
 # ---------------------------------------------------------------------------

@@ -151,3 +151,25 @@ def test_widerface_trunk_has_rpn_convs():
     for n in ("rpn_1_conv", "rpn_2_conv", "rpn_3_conv", "rpn_4_conv"):
         assert n in params
     assert "conv6_1" not in params and "loss1_conv1" not in params
+
+
+def test_detect_cascade_end_to_end(tiny_cascade, rng):
+    """Cascade inference surface: image -> staged refinement -> per-class
+    NMS with stage-averaged scores."""
+    from mscnn_tpu import inference as I
+    ccfg, params = tiny_cascade
+    img = rng.randint(0, 255, (80, 120, 3)).astype(np.uint8)
+    det = I.detect_cascade(params, img, ccfg,
+                           I.DetectSpec(max_per_class=8))
+    c = ccfg.base.num_classes - 1
+    assert det["boxes"].shape == (c, 8, 4)
+    assert det["scores"].shape == (c, 8)
+    # scores are probabilities from the stage-averaged softmax
+    v = det["valid"]
+    assert ((det["scores"][v] >= 0) & (det["scores"][v] <= 1)).all()
+    # boxes clipped to the original image
+    for k in range(c):
+        for b, ok in zip(det["boxes"][k], det["valid"][k]):
+            if ok:
+                assert b[0] >= 0 and b[1] >= 0
+                assert b[0] + b[2] <= 120 + 1e-3 and b[1] + b[3] <= 80 + 1e-3
