@@ -54,7 +54,8 @@ def _build_training(args, solver_path):
         loss_function = functools.partial(
             _cascade_objective, ccfg=ccfg, roi_batch=tspec.roi_batch)
     else:
-        cfg, tspec, aug, dspec, source = Z.model_from_prototxt(net_path)
+        cfg, tspec, aug, dspec, source = Z.model_from_prototxt(
+            net_path, phase=getattr(args, "phase", "TRAIN"))
     if args.batch_size:
         dspec = dataclasses.replace(dspec, batch_size=args.batch_size)
     if args.bf16:
@@ -152,7 +153,8 @@ def cmd_train2(args):
 
 
 def cmd_test(args):
-    """Forward-only metric evaluation over --iterations batches."""
+    """Forward-only metric evaluation over --iterations batches (uses the
+    prototxt's TEST-phase data/sampling parameters by default)."""
     from mscnn_tpu.train import loop as LP
     from mscnn_tpu.train import train_step as T
 
@@ -352,6 +354,8 @@ def main(argv=None):
 
     p_test = sub.add_parser("test", help="evaluate metrics on the TEST config")
     p_test.add_argument("--solver", required=True)
+    p_test.add_argument("--phase", default="TEST",
+                        help="NetState phase for data/sampling params")
     _add_common(p_test)
     p_test.set_defaults(fn=cmd_test)
 

@@ -130,15 +130,17 @@ def _branches_from_net(net, data_param) -> tuple:
     return tuple(branches)
 
 
-def model_from_prototxt(path: str, *, max_out: int = 512):
+def model_from_prototxt(path: str, *, max_out: int = 512,
+                        phase: str = "TRAIN"):
     """Parse a trainval prototxt -> (MSCNNConfig, TrainSpec, AugmentSpec,
-    DatasetSpec, source_path). For deploy prototxts use
+    DatasetSpec, source_path). phase selects the TRAIN or TEST variant of
+    the data/sampling layers (NetState filtering). For deploy prototxts use
     deploy_model_from_prototxt."""
     net = PB.parse_prototxt_file(path)
 
-    data = _first(net, "ImageGtData", "TRAIN")
+    data = _first(net, "ImageGtData", phase)
     if data is None:
-        raise ValueError("no TRAIN-phase ImageGtData layer (deploy net?)")
+        raise ValueError(f"no {phase}-phase ImageGtData layer (deploy net?)")
     dp = data["image_gt_data_param"]
     tp = data.get("transform_param", {})
 
@@ -152,11 +154,11 @@ def model_from_prototxt(path: str, *, max_out: int = 512):
 
     box_out = _first(net, "BoxOutput")
     bp = box_out.get("box_output_param", {}) if box_out is not None else {}
-    det_loss = _first(net, "DetectionLoss", "TRAIN")
+    det_loss = _first(net, "DetectionLoss", phase)
     dl = det_loss.get("detection_loss_param", {})
     cls_num = int(dl["cls_num"])
 
-    pt_layer = _first(net, "ProposalTarget", "TRAIN")
+    pt_layer = _first(net, "ProposalTarget", phase)
     stage = 2 if pt_layer is not None else 1
     bbox_mean = (0.0,) * 4
     bbox_std = (0.1, 0.1, 0.2, 0.2)

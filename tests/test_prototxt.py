@@ -240,3 +240,16 @@ def test_7s_384_import_matches_zoo():
         [(b.field_w, b.stride) for b in ours.branches]
     assert cfg.input_hw == ours.input_hw
     assert not cfg.use_2x_upsample
+
+
+@needs_ref
+def test_phase_filtering_selects_test_params():
+    """NetState filtering: TEST phase picks the eval-time data/sampling
+    params (batch 2, roi batch 128; trainval_2nd.prototxt:76-112,1058)."""
+    _, ts_tr, _, ds_tr, _ = Z.model_from_prototxt(
+        f"{REF}/kitti_car/mscnn-7s-576-2x/trainval_2nd.prototxt")
+    _, ts_te, _, ds_te, _ = Z.model_from_prototxt(
+        f"{REF}/kitti_car/mscnn-7s-576-2x/trainval_2nd.prototxt",
+        phase="TEST")
+    assert ds_tr.batch_size == 4 and ds_te.batch_size == 2
+    assert ts_tr.roi_batch == 256 and ts_te.roi_batch == 128
