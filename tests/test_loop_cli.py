@@ -197,3 +197,20 @@ def test_cli_device_query(capsys):
     assert cli.main(["device_query"]) == 0
     out = capsys.readouterr().out
     assert "Device 0" in out
+
+
+def test_cli_test_subcommand(tiny_dataset, tmp_path, capsys):
+    """`mscnn test`: forward-only metric averaging over N batches."""
+    import json
+    from mscnn_tpu import cli
+    root, net, wf = tiny_dataset
+    solver = str(tmp_path / "solver_t.prototxt")
+    with open(solver, "w") as f:
+        f.write(TINY_SOLVER.format(net=net.replace("\\", "/"),
+                                   prefix=str(tmp_path / "tsnap")))
+    rc = cli.main(["test", "--solver", solver, "--iterations", "2",
+                   "--phase", "TRAIN"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "loss" in out and np.isfinite(out["loss"])
+    assert "cls_accuracy" in out
