@@ -310,6 +310,40 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_export(args):
+    """Export checkpoint params to the reference's .caffemodel wire format
+    (NetParameter binaryproto, net.cpp:856-866) for two-way interop."""
+    from mscnn_tpu.config import zoo_import as Z
+    from mscnn_tpu.io import caffemodel as CM
+    from mscnn_tpu.io import checkpoint as CKPT
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+    from mscnn_tpu.models.cascade import CascadeConfig
+
+    if args.model:
+        # deploy prototxt if it has Input dims, else a trainval net
+        try:
+            cfg = Z.deploy_model_from_prototxt(args.model)
+        except ValueError:
+            if Z.is_cascade_prototxt(args.model):
+                cfg = Z.cascade_from_prototxt(args.model)[0]
+            else:
+                cfg = Z.model_from_prototxt(args.model)[0]
+    else:
+        cfg = zoo.get(args.zoo or "kitti_car/mscnn-8s-768-trainval",
+                      deploy=True)
+    if isinstance(cfg, CascadeConfig):
+        from mscnn_tpu.models import cascade as CC
+        params = CC.init_params(jax.random.key(0), cfg)
+    else:
+        params = M.init_params(jax.random.key(0), cfg)
+    if args.weights:
+        params = CKPT.restore_params(args.weights, params)
+    n = CM.save_caffemodel(jax.device_get(params), args.output)
+    print(f"Wrote {n} layers to {args.output}")
+    return 0
+
+
 def cmd_device_query(args):
     for i, d in enumerate(jax.devices()):
         print(f"Device {i}: {d.device_kind} ({d.platform}), "
@@ -378,6 +412,13 @@ def main(argv=None):
     p_eval.add_argument("--image-set", help="file of image ids, one per line")
     p_eval.add_argument("--class-names", default="car")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_exp = sub.add_parser(
+        "export", help="export checkpoint weights to .caffemodel")
+    _add_common(p_exp)
+    p_exp.add_argument("-o", "--output", required=True,
+                       help="output .caffemodel path")
+    p_exp.set_defaults(fn=cmd_export)
 
     p_dq = sub.add_parser("device_query", help="list accelerator devices")
     p_dq.set_defaults(fn=cmd_device_query)

@@ -171,6 +171,212 @@ def _fc_after_pool(w: np.ndarray, spatial: int, channels: int) -> np.ndarray:
     return w.reshape(spatial * spatial * channels, out_dim)
 
 
+# ---------------------------------------------------------------------------
+# Export: NetParameter / SolverState binaryproto writers.
+#
+# Inverse of the import path so snapshots interoperate with the reference
+# both ways (net.cpp:856-866 Net::ToProto -> WriteProtoToBinaryFile;
+# sgd_solver.cpp:246-302 SnapshotSolverStateToBinaryProto).  SolverState
+# field numbers from caffe.proto: iter = 1, learned_net = 2,
+# history = 3 (repeated BlobProto), current_step = 4.
+# ---------------------------------------------------------------------------
+
+
+def _w_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _w_len(field: int, payload: bytes) -> bytes:
+    return _w_varint((field << 3) | WIRE_LEN) + _w_varint(len(payload)) + payload
+
+
+def _encode_blob(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    shape = _w_len(7, _w_len(1, b"".join(_w_varint(int(d)) for d in arr.shape)))
+    return shape + _w_len(5, arr.astype("<f4").tobytes())
+
+
+def _conv_from_hwio(w: np.ndarray) -> np.ndarray:
+    # HWIO -> OIHW (inverse of _conv_to_hwio)
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def _deconv_from_depthwise(w: np.ndarray) -> np.ndarray:
+    """Depthwise deconv HWIO [kh, kw, 1, C] -> Caffe grouped [C, 1, kh, kw]."""
+    if w.ndim == 4 and w.shape[2] == 1:
+        return np.transpose(w, (3, 2, 0, 1))
+    raise ValueError(f"unexpected depthwise deconv kernel shape {w.shape}")
+
+
+def _fc_from_in_out(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _fc_after_pool_inverse(w: np.ndarray, spatial: int,
+                           channels: int) -> np.ndarray:
+    """Inverse of _fc_after_pool: our NHWC-flatten [S*S*C, out] back to the
+    reference's NCHW-flatten [out, C*S*S]."""
+    out_dim = w.shape[1]
+    w = w.reshape(spatial, spatial, channels, out_dim)        # H, W, C, O
+    w = np.transpose(w, (3, 2, 0, 1))                         # O, C, H, W
+    return w.reshape(out_dim, channels * spatial * spatial)
+
+
+def _export_weight(name: str, w: np.ndarray,
+                   deconv_names, fc_after_pool) -> Tuple[str, np.ndarray]:
+    """Map one of our weights to (caffe layer type, caffe-layout array)."""
+    w = np.asarray(w, np.float32)
+    if w.ndim == 4 and name in deconv_names:
+        return "Deconvolution", _deconv_from_depthwise(w)
+    if w.ndim == 4:
+        return "Convolution", _conv_from_hwio(w)
+    if w.ndim == 2 and name in fc_after_pool:
+        s, c = fc_after_pool[name]
+        return "InnerProduct", _fc_after_pool_inverse(w, s, c)
+    if w.ndim == 2:
+        return "InnerProduct", _fc_from_in_out(w)
+    raise ValueError(f"layer {name}: cannot export weight of rank {w.ndim}")
+
+
+def _iter_layer_blobs(params, deconv_names, fc_after_pool):
+    """Yield (name, type, [caffe-layout blobs]) per layer, params order.
+
+    The per-layer blob order matches Net::ToProto: weight then bias.  Layers
+    without a 'w' entry are skipped (no learnable blobs to snapshot)."""
+    for name, p in params.items():
+        if "w" not in p:
+            continue
+        ltype, w = _export_weight(name, p["w"], deconv_names, fc_after_pool)
+        blobs = [w]
+        if "b" in p:
+            blobs.append(np.asarray(p["b"], np.float32).reshape(-1))
+        yield name, ltype, blobs
+
+
+def save_caffemodel(params, path: str, *, net_name: str = "mscnn_tpu",
+                    deconv_names=("conv4_3_2x",),
+                    fc_after_pool: Optional[dict] = None) -> int:
+    """Write params as a NetParameter binaryproto the reference can read.
+
+    Inverse layout mapping of load_caffemodel_params (HWIO->OIHW,
+    depthwise->grouped deconv, [in,out]->[out,in] FC, NHWC->NCHW flatten for
+    fc_after_pool layers).  Emits current-format LayerParameter messages
+    (field 100; name=1, type=2, blobs=7).  Returns the number of layers
+    written.  Ref: net.cpp:856-866.
+    """
+    fc_after_pool = fc_after_pool or {}
+    out = [_w_len(1, net_name.encode())]
+    n = 0
+    for name, ltype, blobs in _iter_layer_blobs(params, deconv_names,
+                                                fc_after_pool):
+        payload = _w_len(1, name.encode()) + _w_len(2, ltype.encode())
+        for b in blobs:
+            payload += _w_len(7, _encode_blob(b))
+        out.append(_w_len(100, payload))
+        n += 1
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+    return n
+
+
+def save_solverstate(state, params, path: str, *, learned_net: str = "",
+                     deconv_names=("conv4_3_2x",),
+                     fc_after_pool: Optional[dict] = None) -> int:
+    """Write solver history as a SolverState binaryproto.
+
+    History blobs are emitted in Net::learnable_params order (params
+    insertion order, weight then bias per layer) with the same layout
+    transposes as the weights, so the reference's SGDSolver could resume
+    from them.  state: our solver-state pytree ({"it", "h1", ...}); only h1
+    maps onto Caffe's single history vector.  Ref: sgd_solver.cpp:246-302.
+    """
+    fc_after_pool = fc_after_pool or {}
+    it = int(np.asarray(state["it"]))
+    out = [_w_varint((1 << 3) | WIRE_VARINT) + _w_varint(it)]
+    if learned_net:
+        out.append(_w_len(2, learned_net.encode()))
+    n = 0
+    for name, _, blobs in _iter_layer_blobs(state["h1"], deconv_names,
+                                            fc_after_pool):
+        for b in blobs:
+            out.append(_w_len(3, _encode_blob(b)))
+            n += 1
+    out.append(_w_varint((4 << 3) | WIRE_VARINT) + _w_varint(0))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+    return n
+
+
+def parse_solverstate(path: str) -> dict:
+    """Read a SolverState binaryproto -> {iter, learned_net, history,
+    current_step} with history as a list of caffe-layout arrays."""
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    out = {"iter": 0, "learned_net": "", "history": [], "current_step": 0}
+    for field, wire, val in _fields(buf):
+        if field == 1 and wire == WIRE_VARINT:
+            out["iter"] = val
+        elif field == 2 and wire == WIRE_LEN:
+            out["learned_net"] = bytes(val).decode("utf-8", "replace")
+        elif field == 3 and wire == WIRE_LEN:
+            out["history"].append(_parse_blob(val))
+        elif field == 4 and wire == WIRE_VARINT:
+            out["current_step"] = val
+    return out
+
+
+def load_solverstate_history(path: str, state_template,
+                             deconv_names=("conv4_3_2x",),
+                             fc_after_pool: Optional[dict] = None):
+    """Map a SolverState's positional history blobs back onto our solver
+    state pytree (inverse layout transposes applied per the template's
+    layer names/shapes).  Returns (state, iter)."""
+    import jax.numpy as jnp
+
+    fc_after_pool = fc_after_pool or {}
+    parsed = parse_solverstate(path)
+    hist = list(parsed["history"])
+    h1 = {}
+    for name, p in state_template["h1"].items():
+        new = dict(p)
+        if "w" in p:
+            if not hist:
+                raise ValueError("solverstate has fewer history blobs than "
+                                 "the state template expects")
+            w = hist.pop(0)
+            target = np.asarray(p["w"])
+            if w.ndim == 4 and name in deconv_names:
+                wt = _deconv_to_depthwise(w)
+            elif w.ndim == 4:
+                wt = _conv_to_hwio(w)
+            elif w.ndim == 2 and name in fc_after_pool:
+                s, c = fc_after_pool[name]
+                wt = _fc_after_pool(w, s, c)
+            elif w.ndim == 2:
+                wt = _fc_to_in_out(w)
+            else:
+                raise ValueError(f"history blob rank {w.ndim}")
+            if wt.shape != target.shape:
+                raise ValueError(f"{name}: {wt.shape} vs {target.shape}")
+            new["w"] = jnp.asarray(wt, target.dtype)
+            if "b" in p:
+                b = hist.pop(0).reshape(-1)
+                new["b"] = jnp.asarray(b, np.asarray(p["b"]).dtype)
+        h1[name] = new
+    state = dict(state_template)
+    state["h1"] = h1
+    state["it"] = jnp.asarray(parsed["iter"], jnp.int32)
+    return state, parsed["iter"]
+
+
 def load_caffemodel_params(path: str, params, cfg=None,
                            fc_after_pool: Optional[dict] = None):
     """Map a .caffemodel's layers onto a params pytree by name.

@@ -36,6 +36,27 @@ def snapshot(prefix: str, train_state, it: Optional[int] = None) -> str:
     return path
 
 
+def snapshot_caffemodel(prefix: str, train_state,
+                        it: Optional[int] = None) -> str:
+    """Write `<prefix>_iter_N.caffemodel` + `.solverstate` in the
+    reference's binaryproto snapshot format (snapshot_format: BINARYPROTO;
+    solver.cpp:403-419, sgd_solver.cpp:246-302) so reference tooling can
+    consume our snapshots directly.  Returns the .caffemodel path."""
+    from mscnn_tpu.io import caffemodel as CM
+
+    if it is None:
+        it = int(jax.device_get(train_state["solver"]["it"]))
+    base = os.path.abspath(f"{prefix}_iter_{it}")
+    params = jax.device_get(train_state["params"])
+    CM.save_caffemodel(params, base + ".caffemodel")
+    solver = jax.device_get(train_state["solver"])
+    if "h1" in solver:
+        CM.save_solverstate(solver, params, base + ".solverstate",
+                            learned_net=os.path.basename(base) +
+                            ".caffemodel")
+    return base + ".caffemodel"
+
+
 def restore(path: str, template_state):
     """Restore a full train state (params + solver history + iter)."""
     with ocp.StandardCheckpointer() as ckptr:
@@ -43,7 +64,13 @@ def restore(path: str, template_state):
 
 
 def restore_params(path: str, template_params):
-    """Restore only the params subtree of a snapshot (for eval/deploy)."""
+    """Restore only the params subtree of a snapshot (for eval/deploy).
+    `.caffemodel` paths (ours or the reference's) dispatch to the wire
+    importer; anything else is treated as an orbax train-state dir."""
+    if path.endswith(".caffemodel"):
+        from mscnn_tpu.io import caffemodel as CM
+        out, _ = CM.load_caffemodel_params(path, template_params)
+        return out
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         restored = ckptr.restore(os.path.abspath(path))
     return copy_trained_layers(template_params, restored["params"])

@@ -32,6 +32,7 @@ class LoopSpec:
     test_iter: int = 0
     snapshot: int = 0              # 0 = only at exit
     snapshot_prefix: str = "mscnn"
+    snapshot_format: str = "orbax"  # orbax | binaryproto (reference wire)
     sigint_effect: str = "stop"    # stop | snapshot | none
     sighup_effect: str = "snapshot"
 
@@ -62,6 +63,15 @@ class SignalActions:
 
 def _logf(msg: str, log: Optional[Callable[[str], None]]):
     (log or print)(msg)
+
+
+def _snapshot(spec: LoopSpec, train_state, it) -> str:
+    """Dispatch on snapshot_format: our orbax train-state dir, or the
+    reference's .caffemodel/.solverstate pair (Solver::Snapshot,
+    solver.cpp:403-419)."""
+    if spec.snapshot_format == "binaryproto":
+        return CKPT.snapshot_caffemodel(spec.snapshot_prefix, train_state, it)
+    return CKPT.snapshot(spec.snapshot_prefix, train_state, it)
 
 
 def test_eval(eval_step, params, batches, key, *, log=None):
@@ -105,7 +115,7 @@ def solve(step_fn, train_state, batch_source, spec: LoopSpec, *,
         while it < spec.max_iter:
             action = sigs.pop()
             if action == "snapshot":
-                CKPT.snapshot(spec.snapshot_prefix, train_state, it)
+                _snapshot(spec, train_state, it)
             elif action == "stop":
                 _logf(f"Optimization stopped early at iter {it}.", log)
                 break
@@ -144,10 +154,10 @@ def solve(step_fn, train_state, batch_source, spec: LoopSpec, *,
 
             it += 1
             if spec.snapshot and it % spec.snapshot == 0:
-                CKPT.snapshot(spec.snapshot_prefix, train_state, it)
+                _snapshot(spec, train_state, it)
 
     if spec.snapshot_prefix:
-        path = CKPT.snapshot(spec.snapshot_prefix, train_state, it)
+        path = _snapshot(spec, train_state, it)
         _logf(f"Snapshotting to {path}", log)
     return train_state
 
@@ -163,6 +173,9 @@ def loop_spec_from_solver_fields(fields: dict,
         test_interval=int(fields.get("test_interval", 0)),
         test_iter=int(fields.get("test_iter", 0)),
         snapshot=int(fields.get("snapshot", 0)),
+        snapshot_format=("binaryproto"
+                         if str(fields.get("snapshot_format", "")).upper()
+                         == "BINARYPROTO" else "orbax"),
         snapshot_prefix=snapshot_prefix
         or str(fields.get("snapshot_prefix", "mscnn")),
     )

@@ -158,3 +158,130 @@ def test_load_caffemodel_params(tmp_path, rng):
                                CM._conv_to_hwio(w), atol=1e-6)
     np.testing.assert_allclose(out["conv1_1"]["b"], b, atol=1e-6)
     np.testing.assert_allclose(out["conv1_2"]["w"], 0.0)  # kept template
+
+
+# --- export + round-trip -----------------------------------------------------
+
+def _assert_params_equal(a, b):
+    assert set(a) == set(b)
+    for name in a:
+        assert set(a[name]) == set(b[name]), name
+        for k in a[name]:
+            np.testing.assert_array_equal(
+                np.asarray(a[name][k]), np.asarray(b[name][k]),
+                err_msg=f"{name}/{k}")
+
+
+def test_fc_after_pool_inverse(rng):
+    s, c, out_dim = 5, 8, 6
+    w = rng.randn(s * s * c, out_dim).astype(np.float32)
+    back = CM._fc_after_pool(CM._fc_after_pool_inverse(w, s, c), s, c)
+    np.testing.assert_array_equal(back, w)
+
+
+@pytest.mark.parametrize("zoo_name", ["kitti_car/mscnn-8s-768-trainval"])
+def test_save_load_roundtrip_model(tmp_path, zoo_name):
+    """save_caffemodel -> load_caffemodel_params is bit-exact for the
+    flagship (8s-768) config — pins the OIHW<->HWIO / FC transposes
+    against each other on the real layer inventory."""
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    cfg = zoo.get(zoo_name, deploy=True)
+    # shape-faithful params without the (CPU-slow) real initializers
+    shapes = jax.eval_shape(lambda k: M.init_params(k, cfg),
+                            jax.random.key(0))
+    cheap = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(cheap.standard_normal(s.shape), s.dtype),
+        shapes)
+    path = tmp_path / "snap.caffemodel"
+    n = CM.save_caffemodel(params, str(path))
+    assert n == sum(1 for p in params.values() if "w" in p)
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    out, report = CM.load_caffemodel_params(str(path), zero)
+    assert not report["mismatched"], report["mismatched"]
+    assert not report["skipped"]
+    _assert_params_equal(out, params)
+
+
+def test_save_load_roundtrip_deconv(tmp_path, rng):
+    """Depthwise-deconv (conv4_3_2x) export/import round trip, plus wire
+    layout check: the on-disk kernel must be Caffe's grouped [C,1,kh,kw]."""
+    params = {
+        "conv4_3_2x": {"w": jnp.asarray(rng.randn(4, 4, 1, 12), jnp.float32)},
+        "conv5_1": {"w": jnp.asarray(rng.randn(3, 3, 12, 8), jnp.float32),
+                    "b": jnp.asarray(rng.randn(8), jnp.float32)},
+    }
+    path = tmp_path / "dw.caffemodel"
+    CM.save_caffemodel(params, str(path))
+    wire = CM.parse_caffemodel(str(path))["conv4_3_2x"][0]
+    assert wire.shape == (12, 1, 4, 4)
+    zero = jax.tree.map(jnp.zeros_like, params)
+    out, report = CM.load_caffemodel_params(str(path), zero)
+    assert not report["mismatched"]
+    _assert_params_equal(out, params)
+
+
+def test_save_load_roundtrip_cascade(tmp_path):
+    from mscnn_tpu.models import cascade as CC
+    from mscnn_tpu.models import zoo
+
+    ccfg = CC.CascadeConfig(base=zoo.tiny_test_config())
+    params = CC.init_params(jax.random.key(0), ccfg)
+    path = tmp_path / "casc.caffemodel"
+    CM.save_caffemodel(params, str(path))
+    zero = jax.tree.map(jnp.zeros_like, params)
+    out, report = CM.load_caffemodel_params(str(path), zero)
+    assert not report["mismatched"], report["mismatched"]
+    _assert_params_equal(out, params)
+
+
+def test_save_load_roundtrip_fc_after_pool(tmp_path, rng):
+    """Round trip through the NCHW-flatten FC convention: export with
+    fc_after_pool emits reference-layout weights, import restores ours."""
+    s, c, out_dim = 5, 16, 12
+    params = {"fc6": {"w": jnp.asarray(rng.randn(s * s * c, out_dim),
+                                       jnp.float32),
+                      "b": jnp.asarray(rng.randn(out_dim), jnp.float32)}}
+    fap = {"fc6": (s, c)}
+    path = tmp_path / "fc.caffemodel"
+    CM.save_caffemodel(params, str(path), fc_after_pool=fap)
+    # on the wire the weight must be in the reference's [out, C*S*S] layout
+    wire = CM.parse_caffemodel(str(path))["fc6"][0]
+    assert wire.shape == (out_dim, c * s * s)
+    zero = jax.tree.map(jnp.zeros_like, params)
+    out, report = CM.load_caffemodel_params(str(path), zero, fc_after_pool=fap)
+    assert not report["mismatched"]
+    _assert_params_equal(out, params)
+
+
+def test_solverstate_roundtrip(tmp_path):
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+    from mscnn_tpu.train import solver as S
+
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(0), cfg)
+    spec = S.SolverSpec(type="sgd", base_lr=0.01, lr_policy="fixed",
+                        momentum=0.9)
+    state = S.init_state(params, spec)
+    # give the history distinguishable values + a nonzero iteration
+    state["h1"] = jax.tree.map(
+        lambda p: jnp.asarray(np.random.default_rng(0)
+                              .standard_normal(p.shape), p.dtype),
+        state["h1"])
+    state["it"] = jnp.asarray(1234, jnp.int32)
+
+    path = tmp_path / "snap.solverstate"
+    CM.save_solverstate(state, params, str(path), learned_net="snap.caffemodel")
+    parsed = CM.parse_solverstate(str(path))
+    assert parsed["iter"] == 1234
+    assert parsed["learned_net"] == "snap.caffemodel"
+
+    template = {"it": jnp.zeros((), jnp.int32),
+                "h1": jax.tree.map(jnp.zeros_like, state["h1"])}
+    restored, it = CM.load_solverstate_history(str(path), template)
+    assert it == 1234
+    _assert_params_equal(restored["h1"], state["h1"])

@@ -94,3 +94,46 @@ def test_latest_snapshot(tmp_path, tiny_problem):
     CKPT.snapshot(prefix, state, it=2)
     CKPT.snapshot(prefix, state, it=10)
     assert CKPT.latest_snapshot(prefix).endswith("_iter_10")
+
+
+def test_snapshot_caffemodel_roundtrip(tmp_path, tiny_problem):
+    """binaryproto snapshot (snapshot_format: BINARYPROTO): writes a
+    .caffemodel + .solverstate pair; restore_params dispatches on the
+    extension and restores identical weights."""
+    params, grads = tiny_problem
+    spec = S.SolverSpec(type="sgd", base_lr=0.01, lr_policy="fixed",
+                        momentum=0.9)
+    p3, s3 = _run(params, grads, spec, S.init_state(params, spec), 3)
+    s3 = dict(s3, it=jnp.asarray(3, jnp.int32))
+    prefix = str(tmp_path / "snap")
+    path = CKPT.snapshot_caffemodel(prefix, {"params": p3, "solver": s3})
+    assert path.endswith("_iter_3.caffemodel")
+    import os
+    assert os.path.exists(path)
+    assert os.path.exists(path.replace(".caffemodel", ".solverstate"))
+
+    restored = CKPT.restore_params(path, jax.tree.map(jnp.zeros_like, params))
+    for k in ("w", "b"):
+        np.testing.assert_array_equal(np.asarray(restored["fc"][k]),
+                                      np.asarray(p3["fc"][k]))
+
+    from mscnn_tpu.io import caffemodel as CM
+    st = CM.parse_solverstate(path.replace(".caffemodel", ".solverstate"))
+    assert st["iter"] == 3
+    assert st["learned_net"] == "snap_iter_3.caffemodel"
+    template = {"it": jnp.zeros((), jnp.int32),
+                "h1": jax.tree.map(jnp.zeros_like, params)}
+    hstate, it = CM.load_solverstate_history(
+        path.replace(".caffemodel", ".solverstate"), template)
+    assert it == 3
+    np.testing.assert_array_equal(np.asarray(hstate["h1"]["fc"]["w"]),
+                                  np.asarray(s3["h1"]["fc"]["w"]))
+
+
+def test_loop_spec_snapshot_format():
+    from mscnn_tpu.train import loop as LP
+    spec = LP.loop_spec_from_solver_fields(
+        {"max_iter": 10, "snapshot_format": "BINARYPROTO"})
+    assert spec.snapshot_format == "binaryproto"
+    spec = LP.loop_spec_from_solver_fields({"max_iter": 10})
+    assert spec.snapshot_format == "orbax"

@@ -214,3 +214,23 @@ def test_cli_test_subcommand(tiny_dataset, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "loss" in out and np.isfinite(out["loss"])
     assert "cls_accuracy" in out
+
+
+def test_cli_export_caffemodel(tiny_dataset, tmp_path, capsys):
+    """`mscnn export`: train 2 iters, export the orbax snapshot to a
+    .caffemodel, and verify the wire file parses with the net's layers."""
+    from mscnn_tpu import cli
+    from mscnn_tpu.io import caffemodel as CM
+    root, net, wf = tiny_dataset
+    prefix = str(tmp_path / "exp_snap")
+    solver = str(tmp_path / "solver.prototxt")
+    with open(solver, "w") as f:
+        f.write(TINY_SOLVER.format(net=net.replace("\\", "/"), prefix=prefix))
+    assert cli.main(["train", "--solver", solver,
+                     "--snapshot-prefix", prefix]) == 0
+    snap = CKPT.latest_snapshot(prefix)
+    out = str(tmp_path / "exported.caffemodel")
+    rc = cli.main(["export", "--model", net, "--weights", snap, "-o", out])
+    assert rc == 0
+    blobs = CM.parse_caffemodel(out)
+    assert "LFCN_1_5x5" in blobs and "conv1_1" in blobs
