@@ -1,18 +1,29 @@
-"""Benchmark harness: steady-state inference throughput on the real chip.
+"""Benchmark harness: the three BASELINE.json metrics in ONE JSON line.
 
-Measures the full MS-CNN deploy graph (VGG trunk + 7-scale heads + on-device
-BoxOutput NMS + ROI head) at the BASELINE.json geometry (768x2560 KITTI
-input) and reports images/sec against the reference Titan baseline
-(~0.4 s/img at 1920x576, /root/reference/README.md + paper; BASELINE.md
-pegs the reference at 2.5 img/s).
+  * images/sec/chip — steady-state full deploy graph (VGG trunk + 8-scale
+    heads + on-device BoxOutput NMS + ROI head) at the BASELINE geometry
+    (768x2560 KITTI input, run_mscnn_detection.m:36).  Primary metric.
+  * train_images_per_sec — stage-2 joint training step (batch 4 at the
+    8s-768 TRAIN crop 768x1024, incl. on-device label rasterization,
+    proposal generation, sampling, SGD update), matching what `caffe time`
+    measured fwd+bwd (/root/reference/tools/caffe.cpp:334-422).
+  * nms_p50_ms — median device-time of one BoxOutput NMS pass at deploy
+    candidate count (2000 -> 256), measured as K scanned kernels inside a
+    single XLA program so the ~25 ms tunnel RTT cannot poison it.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference Titan deploy speed (~0.4 s/img
+at 1920x576, /root/reference/README.md + paper; BASELINE.md pegs 2.5 img/s).
+
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "train_images_per_sec",
+   "nms_p50_ms"}.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import statistics
 import time
 
 import jax
@@ -21,14 +32,8 @@ import jax.numpy as jnp
 REFERENCE_IMG_PER_SEC = 2.5  # Titan, mscnn deploy (BASELINE.md)
 
 
-def main():
+def bench_deploy(cfg) -> float:
     from mscnn_tpu.models import mscnn as M
-    from mscnn_tpu.models import zoo
-
-    # the BASELINE.json reference model: mscnn-8s-768-trainval, whose deploy
-    # input is natively 768x2560 (run_mscnn_detection.m:36)
-    cfg = zoo.kitti_car_8s_768(deploy=True, max_out=256)
-    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
 
     batch = 1
     params = M.init_params(jax.random.key(0), cfg)
@@ -37,7 +42,6 @@ def main():
 
     fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))
 
-    # compile + warmup
     out = fwd(params, images)
     jax.block_until_ready(out)
     for _ in range(3):
@@ -49,13 +53,118 @@ def main():
         out = fwd(params, images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    img_per_sec = batch * iters / dt
+
+def bench_train(cfg) -> float:
+    """Pipelined stage-2 training steps on synthetic data, batch 4."""
+    from mscnn_tpu.data import rasterize as R
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.train import solver as S
+    from mscnn_tpu.train import train_step as T
+
+    b = 4
+    params = M.init_params(jax.random.key(0), cfg)
+    tspec = T.TrainSpec(stage=2, with_metrics=False)
+    sspec = S.SolverSpec(type="sgd", base_lr=5e-5, lr_policy="step",
+                         gamma=0.1, stepsize=10000, momentum=0.9,
+                         weight_decay=5e-4)
+    step = T.make_train_step(cfg, tspec, sspec,
+                             lr_mults=M.param_lr_multipliers(params, cfg),
+                             decay_mults=M.param_decay_multipliers(params, cfg),
+                             donate=True)
+
+    h, w = cfg.input_hw
+    rspec = R.raster_spec_from_config(cfg)
+    gts6 = jnp.asarray([[100.0, 300.0, 400.0, 500.0, 1.0, 0.0]], jnp.float32)
+    maps = R.rasterize_labels(gts6, jnp.ones(1, bool),
+                              jnp.zeros((1, 4), jnp.float32),
+                              jnp.zeros(1, bool), rspec)
+    batch = {
+        "image": jnp.zeros((b, h, w, 3), jnp.float32),
+        "labels": tuple(jnp.broadcast_to(m, (b,) + m.shape) for m in maps),
+        "gt_boxes": jnp.broadcast_to(
+            jnp.asarray([[[0.0, 100.0, 300.0, 400.0, 500.0, 1.0, 0.0]]]),
+            (b, 1, 7)),
+        "gt_valid": jnp.ones((b, 1), bool),
+    }
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+
+    key = jax.random.key(1)
+    state, metrics = step(state, batch, key)          # compile
+    jax.block_until_ready(metrics)
+    for i in range(2):                                # warmup
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, 10 + i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    return b * iters / dt
+
+
+def bench_nms_p50(cfg) -> float:
+    """Median per-call device time (ms) of the deploy NMS pass.
+
+    K kernels scanned inside one jitted program -> per-call time is pure
+    device time; the median over repeated program runs is the p50."""
+    from mscnn_tpu.ops import nms as nms_ops
+
+    n = cfg.proposal.max_nms_num
+    key = jax.random.key(0)
+    kb, ks = jax.random.split(key)
+    xy = jax.random.uniform(kb, (n, 2)) * jnp.asarray([2560.0, 768.0])
+    wh = 20.0 + jax.random.uniform(kb, (n, 2)) * 200.0
+    boxes = jnp.concatenate([xy, wh], 1)              # xywh (center, size)
+    scores = jax.random.uniform(ks, (n,))
+    valid = jnp.ones((n,), bool)
+
+    K = 50
+
+    @jax.jit
+    def scanned(boxes, scores, valid):
+        def body(carry, _):
+            # fold the carry into the scores so XLA cannot hoist the kernel
+            b, s = carry
+            ob, os_, ov = nms_ops.nms_xywh(
+                b, s, valid, iou_thr=cfg.proposal.iou_thr,
+                mode=cfg.proposal.nms_mode, max_out=cfg.proposal.max_out)
+            return (b, s + 1e-9 * os_[0]), ov.sum()
+        (_, _), outs = jax.lax.scan(body, (boxes, scores), None, length=K)
+        return outs
+
+    jax.block_until_ready(scanned(boxes, scores, valid))  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(scanned(boxes, scores, valid))
+        times.append((time.perf_counter() - t0) / K * 1e3)
+    return statistics.median(times)
+
+
+def main():
+    from mscnn_tpu.models import zoo
+
+    # the BASELINE.json reference model: mscnn-8s-768-trainval
+    deploy_cfg = zoo.kitti_car_8s_768(deploy=True, max_out=256)
+    deploy_cfg = dataclasses.replace(deploy_cfg, compute_dtype="bfloat16")
+    train_cfg = zoo.kitti_car_8s_768(deploy=False)
+    train_cfg = dataclasses.replace(train_cfg, compute_dtype="bfloat16")
+
+    img_per_sec = bench_deploy(deploy_cfg)
+    train_ips = bench_train(train_cfg)
+    nms_p50 = bench_nms_p50(deploy_cfg)
+
     print(json.dumps({
         "metric": "kitti_deploy_768x2560_images_per_sec",
         "value": round(img_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
+        "train_images_per_sec": round(train_ips, 3),
+        "nms_p50_ms": round(nms_p50, 4),
     }))
 
 
