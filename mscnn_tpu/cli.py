@@ -344,6 +344,65 @@ def cmd_export(args):
     return 0
 
 
+def cmd_convert_imageset(args):
+    """Pack a window file / image list into one record shard (the
+    tools/convert_imageset.cpp analog; see data/records.py)."""
+    from mscnn_tpu import tools as TL
+
+    n = TL.convert_imageset(
+        args.output, window_file=args.window_file, listfile=args.listfile,
+        root_folder=args.root_folder, shuffle=args.shuffle, seed=args.seed,
+        encode=args.encode, quality=args.quality)
+    print(f"Packed {n} records into {args.output}")
+    return 0
+
+
+def cmd_compute_mean(args):
+    """Dataset mean (tools/compute_image_mean.cpp analog): prints the BGR
+    mean_value triple; optionally writes a BlobProto binaryproto."""
+    from mscnn_tpu import tools as TL
+
+    bgr, pixel = TL.compute_image_mean(args.source,
+                                       root_folder=args.root_folder,
+                                       output=args.output)
+    print(f"mean_value (BGR): {bgr[0]:.4f} {bgr[1]:.4f} {bgr[2]:.4f}")
+    if args.output:
+        kind = "per-pixel" if pixel is not None else "per-channel"
+        print(f"Wrote {kind} mean BlobProto to {args.output}")
+    return 0
+
+
+def cmd_extract_features(args):
+    """Dump named activations over an image dir to HDF5
+    (tools/extract_features.cpp analog)."""
+    import glob
+    import os
+
+    from mscnn_tpu import tools as TL
+    from mscnn_tpu.config import zoo_import as Z
+    from mscnn_tpu.io import checkpoint as CKPT
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    if args.model:
+        cfg = Z.deploy_model_from_prototxt(args.model)
+    else:
+        cfg = zoo.get(args.zoo or "kitti_car/mscnn-8s-768-trainval",
+                      deploy=True)
+    params = M.init_params(jax.random.key(0), cfg)
+    if args.weights:
+        params = CKPT.restore_params(args.weights, params)
+    paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")) +
+                   glob.glob(os.path.join(args.image_dir, "*.jpg")))
+    if args.iterations:
+        paths = paths[: args.iterations]
+    shapes = TL.extract_features(params, cfg, paths,
+                                 args.blobs.split(","), args.output)
+    for name, shape in shapes.items():
+        print(f"{name}: {(len(paths),) + shape}")
+    return 0
+
+
 def cmd_device_query(args):
     for i, d in enumerate(jax.devices()):
         print(f"Device {i}: {d.device_kind} ({d.platform}), "
@@ -412,6 +471,38 @@ def main(argv=None):
     p_eval.add_argument("--image-set", help="file of image ids, one per line")
     p_eval.add_argument("--class-names", default="car")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_conv = sub.add_parser(
+        "convert_imageset",
+        help="pack a window file / image list into a record shard")
+    p_conv.add_argument("--window-file")
+    p_conv.add_argument("--listfile", help="`path label` lines")
+    p_conv.add_argument("--root-folder", default="")
+    p_conv.add_argument("--shuffle", action="store_true")
+    p_conv.add_argument("--seed", type=int, default=0)
+    p_conv.add_argument("--encode", default=None,
+                        help="re-encode as .png/.jpg (default: raw bytes)")
+    p_conv.add_argument("--quality", type=int, default=95)
+    p_conv.add_argument("-o", "--output", required=True)
+    p_conv.set_defaults(fn=cmd_convert_imageset)
+
+    p_mean = sub.add_parser(
+        "compute_mean", help="dataset BGR mean (+ BlobProto output)")
+    p_mean.add_argument("source",
+                        help="window file, record shard, or image list")
+    p_mean.add_argument("--root-folder", default="")
+    p_mean.add_argument("-o", "--output", default=None,
+                        help="write mean as BlobProto binaryproto")
+    p_mean.set_defaults(fn=cmd_compute_mean)
+
+    p_feat = sub.add_parser(
+        "extract_features", help="dump named activations to HDF5")
+    _add_common(p_feat)
+    p_feat.add_argument("--image-dir", required=True)
+    p_feat.add_argument("--blobs", default="conv4_3",
+                        help="comma-separated blob names")
+    p_feat.add_argument("-o", "--output", required=True)
+    p_feat.set_defaults(fn=cmd_extract_features)
 
     p_exp = sub.add_parser(
         "export", help="export checkpoint weights to .caffemodel")

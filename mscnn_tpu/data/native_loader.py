@@ -74,6 +74,9 @@ def _load_lib():
         lib.mscnn_loader_create.restype = ctypes.c_void_p
         lib.mscnn_loader_create.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(_CLoaderConfig)]
+        lib.mscnn_loader_create_records.restype = ctypes.c_void_p
+        lib.mscnn_loader_create_records.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(_CLoaderConfig)]
         lib.mscnn_loader_next.restype = ctypes.c_int
         lib.mscnn_loader_next.argtypes = [ctypes.c_void_p] + \
             [np.ctypeslib.ndpointer(dtype=d, flags="C_CONTIGUOUS")
@@ -83,6 +86,15 @@ def _load_lib():
         lib.mscnn_loader_last_error.restype = ctypes.c_char_p
         _lib = lib
     return _lib
+
+
+def is_record_shard(path: str) -> bool:
+    """True if `path` is a packed record shard (data/records.py layout)."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == b"MSCR"
+    except OSError:
+        return False
 
 
 class NativeLoader:
@@ -113,8 +125,13 @@ class NativeLoader:
         self._lib = lib
         self._spec = spec
         self._shape = (spec.batch_size, th, tw)
-        self._handle = lib.mscnn_loader_create(
-            window_file.encode(), root_folder.encode(), ctypes.byref(c))
+        if is_record_shard(window_file):
+            # packed shard: one descriptor, pread + imdecode in the workers
+            self._handle = lib.mscnn_loader_create_records(
+                window_file.encode(), ctypes.byref(c))
+        else:
+            self._handle = lib.mscnn_loader_create(
+                window_file.encode(), root_folder.encode(), ctypes.byref(c))
         if not self._handle:
             raise RuntimeError(
                 f"native loader init failed: "
@@ -191,5 +208,9 @@ def make_loader(window_file: str, aug: AugmentSpec, spec: DatasetSpec,
 
         return _Wrapped()
     from mscnn_tpu.data import pipeline as P
-    ds = P.dataset_from_window_file(window_file, aug, spec, root_folder)
+    if is_record_shard(window_file):
+        from mscnn_tpu.data import records as R
+        ds = R.RecordShard(window_file).dataset(aug, spec)
+    else:
+        ds = P.dataset_from_window_file(window_file, aug, spec, root_folder)
     return P.Prefetcher(ds, device_put=device_put)

@@ -82,11 +82,15 @@ class MSCNNDataset:
     """Epoch-shuffled window-file dataset producing augmented host batches."""
 
     def __init__(self, images: Sequence[W.WindowImage], aug: A.AugmentSpec,
-                 spec: DatasetSpec, image_loader=load_image):
+                 spec: DatasetSpec, image_loader=load_image,
+                 index_loader=None):
+        """index_loader(i) -> image overrides path-based loading (used by
+        packed record shards, where bytes live at an offset, not a path)."""
         self.images = list(images)
         self.aug = aug
         self.spec = spec
         self.loader = image_loader
+        self.index_loader = index_loader
         self.rng = np.random.RandomState(spec.seed)
         self.index_list = W.build_image_list(self.images, spec.fg_img_multiple)
         self._order = None
@@ -103,8 +107,10 @@ class MSCNNDataset:
         return int(idx)
 
     def sample(self):
-        im = self.images[self._next_index()]
-        img = self.loader(im.path)
+        idx = self._next_index()
+        im = self.images[idx]
+        img = (self.index_loader(idx) if self.index_loader is not None
+               else self.loader(im.path))
         return A.augment(self.rng, img, im.gts, im.ronis, self.aug)
 
     def next_batch(self) -> dict:

@@ -11,6 +11,9 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <opencv2/core.hpp>
 #include <opencv2/imgcodecs.hpp>
 #include <opencv2/imgproc.hpp>
@@ -36,6 +39,10 @@ namespace {
 struct WindowImage {
   std::string path;
   int channels = 3, height = 0, width = 0;
+  // packed-record shard mode: image bytes live at [rec_off, rec_off+rec_len)
+  // of the shard file instead of at `path` (see data/records.py layout)
+  uint64_t rec_off = 0;
+  uint32_t rec_len = 0;
   // rows: label, ignore, x1, y1, x2, y2
   std::vector<std::array<float, 6>> gts;
   // rows: x1, y1, x2, y2
@@ -97,8 +104,11 @@ void affine_ronis(std::vector<std::array<float, 4>>& rs, float fx, float fy,
 
 class Loader {
  public:
-  Loader(std::vector<WindowImage> images, LoaderConfig cfg)
-      : images_(std::move(images)), cfg_(cfg), rng_(cfg.seed) {
+  // rec_fd >= 0 switches image reads to pread+imdecode from the record
+  // shard (the loader takes ownership of the descriptor).
+  Loader(std::vector<WindowImage> images, LoaderConfig cfg, int rec_fd = -1)
+      : images_(std::move(images)), cfg_(cfg), rec_fd_(rec_fd),
+        rng_(cfg.seed) {
     for (size_t i = 0; i < images_.size(); ++i) {
       int mult = images_[i].has_fg() ? cfg_.fg_img_multiple : 1;
       for (int m = 0; m < mult; ++m) index_list_.push_back(i);
@@ -113,6 +123,7 @@ class Loader {
     cv_free_.notify_all();
     cv_full_.notify_all();
     for (auto& t : workers_) t.join();
+    if (rec_fd_ >= 0) ::close(rec_fd_);
   }
 
   // Blocks until a batch is ready, then moves it out.
@@ -187,7 +198,18 @@ class Loader {
     auto rnd = [&rng](int n) { return (int)(rng() % (uint64_t)n); };
 
     const WindowImage& wi = images_[img_idx];
-    cv::Mat img = cv::imread(wi.path, cv::IMREAD_COLOR);
+    cv::Mat img;
+    if (rec_fd_ >= 0) {
+      // pread is thread-safe on a shared descriptor: one open per shard,
+      // no per-image filesystem lookups (the LMDB-path property)
+      std::vector<uint8_t> buf(wi.rec_len);
+      ssize_t n = ::pread(rec_fd_, buf.data(), wi.rec_len,
+                          (off_t)wi.rec_off);
+      if (n == (ssize_t)wi.rec_len)
+        img = cv::imdecode(buf, cv::IMREAD_COLOR);
+    } else {
+      img = cv::imread(wi.path, cv::IMREAD_COLOR);
+    }
     if (img.empty()) {
       std::lock_guard<std::mutex> lk(mu_);
       error_ = "could not read image " + wi.path;
@@ -384,6 +406,7 @@ class Loader {
 
   std::vector<WindowImage> images_;
   LoaderConfig cfg_;
+  int rec_fd_ = -1;
   std::vector<size_t> index_list_;
   std::vector<size_t> order_;
   size_t pos_ = 0;
@@ -428,6 +451,91 @@ std::vector<WindowImage> parse_window_file(const std::string& path,
   return out;
 }
 
+// Packed record shard (data/records.py wire layout): header "MSCR" + u32
+// version, records of (u32 meta_len, meta, u32 img_len, img bytes), footer
+// of u64 offsets + u64 count + "MSCX".  Fills rec_off/rec_len so workers
+// pread+imdecode instead of per-file imread.
+std::vector<WindowImage> parse_record_shard(const std::string& path,
+                                            int* out_fd) {
+  int fd = ::open(path.c_str(), O_RDONLY);
+  if (fd < 0) throw std::runtime_error("cannot open record shard " + path);
+  auto fail = [&](const std::string& msg) {
+    ::close(fd);
+    throw std::runtime_error(path + ": " + msg);
+  };
+  auto read_at = [&](void* dst, size_t n, uint64_t off) {
+    if (::pread(fd, dst, n, (off_t)off) != (ssize_t)n)
+      fail("short read");
+  };
+  char head[8];
+  read_at(head, 8, 0);
+  if (std::memcmp(head, "MSCR", 4) != 0) fail("bad magic");
+  uint32_t version;
+  std::memcpy(&version, head + 4, 4);
+  if (version != 1) fail("unsupported shard version");
+  off_t fsize = ::lseek(fd, 0, SEEK_END);
+  if (fsize < 20) fail("truncated shard");
+  char tail[12];
+  read_at(tail, 12, (uint64_t)fsize - 12);
+  if (std::memcmp(tail + 8, "MSCX", 4) != 0) fail("bad end magic");
+  uint64_t count;
+  std::memcpy(&count, tail, 8);
+  std::vector<uint64_t> offsets(count);
+  read_at(offsets.data(), 8 * count, (uint64_t)fsize - 12 - 8 * count);
+
+  std::vector<WindowImage> out;
+  out.reserve(count);
+  for (uint64_t off : offsets) {
+    uint32_t meta_len;
+    read_at(&meta_len, 4, off);
+    std::vector<uint8_t> meta(meta_len);
+    read_at(meta.data(), meta_len, off + 4);
+    uint32_t img_len;
+    read_at(&img_len, 4, off + 4 + meta_len);
+
+    WindowImage wi;
+    wi.rec_off = off + 8 + meta_len;
+    wi.rec_len = img_len;
+    size_t p = 0;
+    auto need = [&](size_t n) { if (p + n > meta.size()) fail("bad meta"); };
+    uint16_t plen;
+    need(2);
+    std::memcpy(&plen, &meta[p], 2);
+    p += 2;
+    need(plen);
+    wi.path.assign((const char*)&meta[p], plen);
+    p += plen;
+    uint16_t channels;
+    uint32_t height, width;
+    need(10);
+    std::memcpy(&channels, &meta[p], 2);
+    std::memcpy(&height, &meta[p + 2], 4);
+    std::memcpy(&width, &meta[p + 6], 4);
+    p += 10;
+    wi.channels = channels;
+    wi.height = (int)height;
+    wi.width = (int)width;
+    uint32_t ng;
+    need(4);
+    std::memcpy(&ng, &meta[p], 4);
+    p += 4;
+    need((size_t)ng * 24);
+    wi.gts.resize(ng);
+    std::memcpy(wi.gts.data(), &meta[p], (size_t)ng * 24);
+    p += (size_t)ng * 24;
+    uint32_t nr;
+    need(4);
+    std::memcpy(&nr, &meta[p], 4);
+    p += 4;
+    need((size_t)nr * 16);
+    wi.ronis.resize(nr);
+    std::memcpy(wi.ronis.data(), &meta[p], (size_t)nr * 16);
+    out.push_back(std::move(wi));
+  }
+  *out_fd = fd;
+  return out;
+}
+
 std::string g_last_error;
 
 }  // namespace
@@ -446,9 +554,35 @@ struct CLoaderConfig {
   int num_workers, queue_depth;
 };
 
+static LoaderConfig to_loader_config(const CLoaderConfig* c);
+
 void* mscnn_loader_create(const char* window_file, const char* root_folder,
                           const CLoaderConfig* c) {
   try {
+    auto images = parse_window_file(window_file, root_folder);
+    return new Loader(std::move(images), to_loader_config(c));
+  } catch (const std::exception& e) {
+    g_last_error = e.what();
+    return nullptr;
+  }
+}
+
+// Like mscnn_loader_create but over a packed record shard
+// (data/records.py): one descriptor, pread + imdecode workers.
+void* mscnn_loader_create_records(const char* records_file,
+                                  const CLoaderConfig* c) {
+  try {
+    int fd = -1;
+    auto images = parse_record_shard(records_file, &fd);
+    return new Loader(std::move(images), to_loader_config(c), fd);
+  } catch (const std::exception& e) {
+    g_last_error = e.what();
+    return nullptr;
+  }
+}
+
+static LoaderConfig to_loader_config(const CLoaderConfig* c) {
+  {
     LoaderConfig cfg;
     cfg.batch_size = c->batch_size;
     cfg.template_h = c->template_h;
@@ -474,11 +608,7 @@ void* mscnn_loader_create(const char* window_file, const char* root_folder,
     cfg.seed = c->seed;
     cfg.num_workers = c->num_workers;
     cfg.queue_depth = c->queue_depth;
-    auto images = parse_window_file(window_file, root_folder);
-    return new Loader(std::move(images), cfg);
-  } catch (const std::exception& e) {
-    g_last_error = e.what();
-    return nullptr;
+    return cfg;
   }
 }
 
