@@ -304,7 +304,8 @@ def cmd_eval(args):
         ids = sorted(int(os.path.splitext(os.path.basename(p))[0])
                      for p in glob.glob(os.path.join(args.gt_dir, "*.txt")))
     classes = (args.class_names or "car").split(",")
-    out = KE.evaluate(args.gt_dir, args.result_dir, ids, classes=classes)
+    out = KE.evaluate(args.gt_dir, args.result_dir, ids, classes=classes,
+                      stats_dir=args.stats_dir)
     print(json.dumps({c: {k: round(v, 2) for k, v in d.items()}
                       for c, d in out.items()}))
     return 0
@@ -470,6 +471,8 @@ def main(argv=None):
     p_eval.add_argument("--result-dir", required=True)
     p_eval.add_argument("--image-set", help="file of image ids, one per line")
     p_eval.add_argument("--class-names", default="car")
+    p_eval.add_argument("--stats-dir", default=None,
+                        help="write devkit-layout stats_/plot files here")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_conv = sub.add_parser(

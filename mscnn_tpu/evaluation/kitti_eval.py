@@ -238,10 +238,36 @@ def eval_class(gts_per_img: Sequence[Sequence[KittiObject]],
     return precision, ap
 
 
+def write_stats(stats_dir: str, cls: str, precisions) -> str:
+    """Write `stats_<class>_detection.txt` exactly like the devkit's
+    saveStats (evaluate_object.cpp:168-176 + :696): one line per difficulty
+    (easy, moderate, hard), each line the 41 precision values printed
+    "%f " — so external devkit tooling/plots consume our results
+    unchanged. Also writes the gnuplot data file
+    `plot/<class>_detection.txt` (:575-578). Returns the stats path."""
+    os.makedirs(stats_dir, exist_ok=True)
+    path = os.path.join(stats_dir, f"stats_{cls.lower()}_detection.txt")
+    with open(path, "w") as f:
+        for prec in precisions:
+            f.write("".join(f"{p:f} " for p in prec) + "\n")
+    plot_dir = os.path.join(stats_dir, "plot")
+    os.makedirs(plot_dir, exist_ok=True)
+    with open(os.path.join(plot_dir,
+                           f"{cls.lower()}_detection.txt"), "w") as f:
+        for i in range(N_SAMPLE_PTS):
+            f.write(f"{i / (N_SAMPLE_PTS - 1.0):f} "
+                    f"{precisions[0][i]:f} {precisions[1][i]:f} "
+                    f"{precisions[2][i]:f}\n")
+    return path
+
+
 def evaluate(gt_dir: str, result_dir: str, image_ids: Sequence[int],
-             classes: Sequence[str] = ("car",)) -> Dict[str, Dict[str, float]]:
+             classes: Sequence[str] = ("car",),
+             stats_dir: Optional[str] = None) -> Dict[str, Dict[str, float]]:
     """Directory-level evaluation: devkit label dirs -> AP table
-    {class: {easy, moderate, hard}}."""
+    {class: {easy, moderate, hard (11-pt, the devkit headline number),
+    easy_41pt, ... (all-sample mean)}}. With stats_dir, also writes the
+    devkit-layout stats/plot files (write_stats)."""
     gts = [parse_label_file(os.path.join(gt_dir, f"{i:06d}.txt"))
            for i in image_ids]
     dets = [parse_label_file(os.path.join(result_dir, f"{i:06d}.txt"))
@@ -249,7 +275,12 @@ def evaluate(gt_dir: str, result_dir: str, image_ids: Sequence[int],
     out: Dict[str, Dict[str, float]] = {}
     for cls in classes:
         out[cls] = {}
+        precisions = []
         for d, name in enumerate(DIFFICULTIES):
-            _, ap = eval_class(gts, dets, cls, d)
+            prec, ap = eval_class(gts, dets, cls, d)
+            precisions.append(prec)
             out[cls][name] = ap
+            out[cls][f"{name}_41pt"] = 100.0 * float(np.mean(prec))
+        if stats_dir:
+            write_stats(stats_dir, cls, precisions)
     return out

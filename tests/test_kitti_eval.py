@@ -151,3 +151,64 @@ def test_evaluate_directories(tmp_path):
     assert out["car"]["moderate"] == 100.0
     assert out["car"]["easy"] == 100.0
     assert out["car"]["hard"] == 100.0
+
+
+def _write_scene(tmp_path, gts, dets):
+    import os
+    gt_dir = str(tmp_path / "gt")
+    res_dir = str(tmp_path / "res")
+    os.makedirs(gt_dir)
+    os.makedirs(res_dir)
+    ids = list(range(len(gts)))
+    for i in ids:
+        with open(os.path.join(gt_dir, f"{i:06d}.txt"), "w") as f:
+            for o in gts[i]:
+                f.write(f"Car {o.truncation} {o.occlusion} -10 "
+                        f"{o.x1} {o.y1} {o.x2} {o.y2} "
+                        f"-1 -1 -1 -1000 -1000 -1000 -10\n")
+        with open(os.path.join(res_dir, f"{i:06d}.txt"), "w") as f:
+            for o in dets[i]:
+                f.write(f"Car -1 -1 -10 {o.x1} {o.y1} {o.x2} {o.y2} "
+                        f"-1 -1 -1 -1000 -1000 -1000 -10 {o.score}\n")
+    return gt_dir, res_dir, ids
+
+
+def test_evaluate_reports_11pt_and_41pt(tmp_path):
+    gts, dets = grid_scene(n_img=6, per_img=10, detect_frac=1.0)
+    gt_dir, res_dir, ids = _write_scene(tmp_path, gts, dets)
+    out = KE.evaluate(gt_dir, res_dir, ids)
+    for name in KE.DIFFICULTIES:
+        assert out["car"][name] == 100.0
+        assert out["car"][f"{name}_41pt"] == 100.0
+
+    # at partial recall the two samplings diverge but stay close
+    gts, dets = grid_scene(n_img=6, per_img=10, detect_frac=0.5)
+    gt_dir, res_dir, ids = _write_scene(tmp_path / "half", gts, dets)
+    out = KE.evaluate(gt_dir, res_dir, ids)
+    m11 = out["car"]["moderate"]
+    m41 = out["car"]["moderate_41pt"]
+    assert 0 < m41 < 100 and 0 < m11 < 100
+    assert m11 != m41
+    assert abs(m11 - m41) < 10
+
+
+def test_write_stats_devkit_layout(tmp_path):
+    """stats_<cls>_detection.txt: 3 lines x 41 '%f '-formatted precision
+    values + plot data (evaluate_object.cpp:168-176, 575-578)."""
+    import os
+    gts, dets = grid_scene(n_img=6, per_img=10, detect_frac=1.0)
+    gt_dir, res_dir, ids = _write_scene(tmp_path, gts, dets)
+    stats = str(tmp_path / "stats")
+    KE.evaluate(gt_dir, res_dir, ids, stats_dir=stats)
+    path = os.path.join(stats, "stats_car_detection.txt")
+    lines = open(path).read().splitlines()
+    assert len(lines) == 3
+    for line in lines:
+        assert line.endswith(" ")          # devkit prints "%f " per value
+        vals = line.split()
+        assert len(vals) == KE.N_SAMPLE_PTS
+        assert all(v == "1.000000" for v in vals)  # perfect detections
+    plot = os.path.join(stats, "plot", "car_detection.txt")
+    rows = [l.split() for l in open(plot).read().splitlines()]
+    assert len(rows) == KE.N_SAMPLE_PTS and len(rows[0]) == 4
+    assert rows[0][0] == "0.000000" and rows[-1][0] == "1.000000"
