@@ -25,8 +25,21 @@ def initialize(coordinator_address: Optional[str] = None,
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()  # cluster auto-detection
-        except Exception:
-            return  # single-process
+        except ValueError as e:
+            # no cluster env detected ("coordinator_address should be
+            # defined") -> single-process; anything else is a real
+            # cluster-bringup failure and must propagate
+            if "coordinator_address" not in str(e):
+                raise
+            return
+        except RuntimeError as e:
+            # tolerated in the best-effort auto-detect path only: repeat
+            # initialization, or a backend brought up before us (the caller
+            # is already running single/multi-process either way)
+            if ("already initialized" not in str(e)
+                    and "must be called before" not in str(e)):
+                raise
+            return
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
