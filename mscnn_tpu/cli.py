@@ -345,6 +345,19 @@ def cmd_export(args):
     return 0
 
 
+def cmd_draw(args):
+    """Net topology -> Graphviz DOT (python/caffe/draw.py equivalent;
+    render with `dot -Tpng out.dot` wherever graphviz is installed)."""
+    from mscnn_tpu.config import prototxt as PB
+    from mscnn_tpu.utils import draw as DR
+
+    net = PB.parse_prototxt_file(args.net)
+    DR.draw_net_to_file(net, args.out, rankdir=args.rankdir,
+                        phase=args.phase)
+    print(f"Wrote {args.out} ({len(PB.layers(net))} layers)")
+    return 0
+
+
 def cmd_convert_imageset(args):
     """Pack a window file / image list into one record shard (the
     tools/convert_imageset.cpp analog; see data/records.py)."""
@@ -513,6 +526,15 @@ def main(argv=None):
     p_exp.add_argument("-o", "--output", required=True,
                        help="output .caffemodel path")
     p_exp.set_defaults(fn=cmd_export)
+
+    p_draw = sub.add_parser(
+        "draw", help="render a net prototxt's topology to Graphviz DOT")
+    p_draw.add_argument("--net", required=True, help="net prototxt path")
+    p_draw.add_argument("--out", required=True, help="output .dot path")
+    p_draw.add_argument("--rankdir", default="LR",
+                        choices=["LR", "TB", "RL", "BT"])
+    p_draw.add_argument("--phase", default=None, choices=["TRAIN", "TEST"])
+    p_draw.set_defaults(fn=cmd_draw)
 
     p_dq = sub.add_parser("device_query", help="list accelerator devices")
     p_dq.set_defaults(fn=cmd_device_query)

@@ -146,3 +146,45 @@ def layer_phase(layer: Message) -> str:
         if "phase" in inc:
             return str(inc["phase"])
     return "BOTH"
+
+
+# -- emission (inverse of parse) ---------------------------------------------
+
+# Parsing collapses the quoted-string / bare-enum distinction to plain str;
+# on the way out, protobuf text format requires enums bare and strings
+# quoted. Enum values in caffe.proto are ALL_CAPS identifiers (TRAIN, MAX,
+# LMDB, ...) and no string-typed field in the zoo holds such a value, so the
+# shape of the atom decides.
+_ENUM_ATOM = re.compile(r"^[A-Z][A-Z0-9_]*$")
+
+
+def _emit_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v)
+    if _ENUM_ATOM.match(s):
+        return s
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def emit_prototxt(msg: Message, indent: int = 0) -> str:
+    """Serialize a nested-dict message back to protobuf text format.
+
+    Inverse of parse_prototxt up to the parser's value coercion:
+    `parse(emit(parse(text))) == parse(text)` for every reference zoo
+    prototxt (tested in tests/test_netspec.py)."""
+    pad = "  " * indent
+    lines: List[str] = []
+    for key, val in msg.items():
+        for v in as_list(val):
+            if isinstance(v, dict):
+                lines.append(f"{pad}{key} {{")
+                body = emit_prototxt(v, indent + 1)
+                if body:
+                    lines.append(body)
+                lines.append(f"{pad}}}")
+            else:
+                lines.append(f"{pad}{key}: {_emit_value(v)}")
+    return "\n".join(lines)
