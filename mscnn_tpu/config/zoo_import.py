@@ -24,7 +24,11 @@ from mscnn_tpu.train.train_step import TrainSpec
 
 
 def solver_from_prototxt(path: str) -> SolverSpec:
-    return spec_from_prototxt_fields(PB.parse_prototxt_file(path))
+    from mscnn_tpu.config import upgrade as UP
+
+    # legacy `solver_type: SGD` enum form migrates on load
+    return spec_from_prototxt_fields(
+        UP.upgrade_solver(PB.parse_prototxt_file(path)))
 
 
 def _first(net, type_name, phase=None):

@@ -74,8 +74,14 @@ class Net:
 
     def __init__(self, source: str, phase: str = "TRAIN",
                  input_shapes: Optional[Dict[str, tuple]] = None):
+        from mscnn_tpu.config import upgrade as UP
+
         self.proto = PB.parse_prototxt_file(source) if "\n" not in source \
             else PB.parse_prototxt(source)
+        # legacy V0/V1 schemas migrate on load (upgrade_proto equivalent);
+        # no-op for modern text. Top-level input/input_dim stays supported
+        # both ways (upgrade_input turns it into an Input layer).
+        self.proto = UP.upgrade_net(self.proto)
         self.phase = phase
         self.layers = [l for l in PB.layers(self.proto)
                        if PB.layer_phase(l) in (phase, "BOTH")]
@@ -102,10 +108,17 @@ class Net:
             in_shape = shapes.get(bots[0]) if bots else None
 
             if ltype == "Input":
-                shape = [int(d) for d in PB.as_list(
-                    layer["input_param"]["shape"]["dim"])]
-                n, c, h, w = shape
-                shapes[tops[0]] = (n, h, w, c)
+                # InputParameter.shape is repeated: one per top (or one
+                # shared shape, caffe.proto InputParameter)
+                sh_list = PB.as_list(layer["input_param"]["shape"])
+                for ti, t in enumerate(tops):
+                    sh = sh_list[min(ti, len(sh_list) - 1)]
+                    dims = [int(d) for d in PB.as_list(sh["dim"])]
+                    if len(dims) == 4:
+                        n, c, h, w = dims
+                        shapes[t] = (n, h, w, c)
+                    else:
+                        shapes[t] = tuple(dims)
                 continue
             if ltype == "Convolution":
                 cp = layer.get("convolution_param", {})
