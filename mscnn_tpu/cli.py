@@ -214,6 +214,36 @@ def cmd_time(args):
     print(f"Average Forward-Backward-Update: {step_ms:.2f} ms")
     print(f"Throughput: {b / (step_ms / 1e3):.2f} train img/s, "
           f"{b / (fwd_ms / 1e3):.2f} infer img/s")
+
+    if getattr(args, "stages", False):
+        # per-stage device time + MFU via the loop-slope protocol
+        # (BENCH.md; caffe time's per-layer table, caffe.cpp:373-402,
+        # at subgraph granularity)
+        from mscnn_tpu.utils import profiling as P
+
+        x1 = images[:1]
+        stages = {
+            "trunk": lambda x: M.trunk(params, x, cfg),
+            "full_deploy": lambda x: M.deploy_forward(params, x, cfg),
+        }
+        peak = P.peak_flops()
+        print(f"{'stage':<14}{'ms/img':>10}{'GFLOP':>10}{'MFU':>8}")
+        rows = {}
+        for name, fn in stages.items():
+            ms = P.chain_time(fn, x1)
+            fl = P.cost_flops(fn, x1)
+            rows[name] = (ms, fl)
+            util = (fl / (ms / 1e3) / peak) if (fl and peak) else None
+            print(f"{name:<14}{ms:>10.2f}"
+                  f"{(fl or 0) / 1e9:>10.1f}"
+                  f"{('%.1f%%' % (100 * util)) if util else '   n/a':>8}")
+        t_ms, t_fl = rows["trunk"]
+        f_ms, f_fl = rows["full_deploy"]
+        if f_fl and t_fl and peak:
+            ms, fl = f_ms - t_ms, f_fl - t_fl
+            util = fl / (ms / 1e3) / peak if ms > 0 else None
+            print(f"{'heads+nms+roi':<14}{ms:>10.2f}{fl / 1e9:>10.1f}"
+                  f"{('%.1f%%' % (100 * util)) if util else '   n/a':>8}")
     return 0
 
 
@@ -345,6 +375,25 @@ def cmd_export(args):
     return 0
 
 
+def cmd_upgrade_proto(args):
+    """Migrate a legacy V0/V1 net or solver prototxt to the modern schema
+    (tools/upgrade_net_proto_text.cpp / upgrade_solver_proto_text.cpp)."""
+    from mscnn_tpu.config import prototxt as PB
+    from mscnn_tpu.config import upgrade as UP
+
+    msg = PB.parse_prototxt_file(args.input)
+    out = UP.upgrade_solver(msg) if args.kind == "solver" \
+        else UP.upgrade_net(msg)
+    text = PB.emit_prototxt(out) + "\n"
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+        print(f"Wrote upgraded {args.kind} prototxt to {args.output}")
+    else:
+        print(text, end="")
+    return 0
+
+
 def cmd_draw(args):
     """Net topology -> Graphviz DOT (python/caffe/draw.py equivalent;
     render with `dot -Tpng out.dot` wherever graphviz is installed)."""
@@ -468,6 +517,9 @@ def main(argv=None):
 
     p_time = sub.add_parser("time", help="benchmark fwd / fwd-bwd times")
     _add_common(p_time)
+    p_time.add_argument("--stages", action="store_true",
+                        help="per-stage device time + MFU table "
+                             "(loop-slope protocol)")
     p_time.set_defaults(fn=cmd_time)
 
     p_det = sub.add_parser("detect", help="run detection over an image dir")
@@ -526,6 +578,15 @@ def main(argv=None):
     p_exp.add_argument("-o", "--output", required=True,
                        help="output .caffemodel path")
     p_exp.set_defaults(fn=cmd_export)
+
+    for kind in ("net", "solver"):
+        p_up = sub.add_parser(
+            f"upgrade_{kind}_proto",
+            help=f"migrate a legacy {kind} prototxt to the modern schema")
+        p_up.add_argument("input")
+        p_up.add_argument("output", nargs="?", default=None,
+                          help="output path (default: stdout)")
+        p_up.set_defaults(fn=cmd_upgrade_proto, kind=kind)
 
     p_draw = sub.add_parser(
         "draw", help="render a net prototxt's topology to Graphviz DOT")

@@ -181,6 +181,35 @@ def test_solver_type_upgrade():
     assert UP.upgrade_solver(modern) == modern
 
 
+def test_cli_upgrade_net_proto(tmp_path, capsys):
+    from mscnn_tpu import cli
+    from mscnn_tpu.models.netbuilder import Net
+
+    src = tmp_path / "v0.prototxt"
+    src.write_text(V0_NET)
+    dst = tmp_path / "v2.prototxt"
+    assert cli.main(["upgrade_net_proto", str(src), str(dst)]) == 0
+    capsys.readouterr()
+    # upgraded text is modern: loads with no further migration and runs
+    upgraded = PB.parse_prototxt_file(str(dst))
+    assert upgraded == UP.upgrade_net(upgraded)
+    net = Net(str(dst), phase="TRAIN")
+    params = net.init(jax.random.key(0))
+    blobs = net.apply(params, {"data": jnp.zeros((1, 16, 16, 3))})
+    assert blobs["fc"].shape == (1, 10)
+
+
+def test_cli_upgrade_solver_proto(tmp_path, capsys):
+    from mscnn_tpu import cli
+
+    src = tmp_path / "s.prototxt"
+    src.write_text("base_lr: 0.01\nlr_policy: \"fixed\"\n"
+                   "solver_type: ADAM\n")
+    assert cli.main(["upgrade_solver_proto", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert 'type: "Adam"' in out and "solver_type" not in out
+
+
 def test_solver_from_prototxt_legacy_enum(tmp_path):
     from mscnn_tpu.config import zoo_import as Z
 
