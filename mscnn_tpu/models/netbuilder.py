@@ -93,6 +93,25 @@ class Net:
                 n, c, h, w = dims[:4]
                 self.input_shapes[name] = (n, h, w, c)
 
+    def inputs(self) -> Dict[str, tuple]:
+        """Input blob name -> NHWC shape (explicit input_shapes, legacy
+        top-level inputs, and Input layers)."""
+        out = dict(self.input_shapes)
+        for layer in self.layers:
+            if layer.get("type") != "Input":
+                continue
+            tops = [str(t) for t in PB.as_list(layer.get("top"))]
+            sh_list = PB.as_list(layer["input_param"]["shape"])
+            for ti, t in enumerate(tops):
+                dims = [int(d) for d in PB.as_list(
+                    sh_list[min(ti, len(sh_list) - 1)]["dim"])]
+                if len(dims) == 4:
+                    n, c, h, w = dims
+                    out.setdefault(t, (n, h, w, c))
+                else:
+                    out.setdefault(t, tuple(dims))
+        return out
+
     # -- parameter initialization -------------------------------------------
 
     def init(self, key) -> dict:
