@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import statistics
 import time
 
@@ -41,6 +42,15 @@ def bench_deploy(cfg) -> float:
     images = jnp.zeros((batch, h, w, 3), jnp.float32)
 
     fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))
+
+    # same jit instance -> the explicit compile below is reused by calls
+    try:
+        analysis = fwd.lower(params, images).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        bench_deploy.flops = float(analysis["flops"]) / batch
+    except Exception:
+        bench_deploy.flops = None
 
     out = fwd(params, images)
     jax.block_until_ready(out)
@@ -154,9 +164,20 @@ def main():
     train_cfg = zoo.kitti_car_8s_768(deploy=False)
     train_cfg = dataclasses.replace(train_cfg, compute_dtype="bfloat16")
 
+    # conv1 strategy (BENCH.md A/B protocol): pallas (default; fused
+    # conv1_1+conv1_2+pool1 kernel, +5% deploy) | plain | s2d
+    conv1 = os.environ.get("MSCNN_CONV1", "pallas")
+    flags = {"s2d_conv1": conv1 == "s2d", "pallas_conv1": conv1 == "pallas"}
+    deploy_cfg = dataclasses.replace(deploy_cfg, **flags)
+    train_cfg = dataclasses.replace(train_cfg, **flags)
+
     img_per_sec = bench_deploy(deploy_cfg)
     train_ips = bench_train(train_cfg)
     nms_p50 = bench_nms_p50(deploy_cfg)
+
+    from mscnn_tpu.utils import profiling as P
+    deploy_mfu = P.mfu(bench_deploy.flops, img_per_sec) \
+        if bench_deploy.flops else None
 
     print(json.dumps({
         "metric": "kitti_deploy_768x2560_images_per_sec",
@@ -165,6 +186,7 @@ def main():
         "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
         "train_images_per_sec": round(train_ips, 3),
         "nms_p50_ms": round(nms_p50, 4),
+        "deploy_mfu": round(deploy_mfu, 4) if deploy_mfu else None,
     }))
 
 

@@ -119,6 +119,10 @@ class MSCNNConfig:
     # occupancy gain: bench 36.9 -> 32.1 img/s), so off by default; kept as
     # an option for future XLA versions / other chips.
     s2d_conv1: bool = False
+    # fused Pallas conv1_1+conv1_2+pool1 (pair-lane layout, VMEM-resident
+    # full-res activations; ops/pallas/conv1_kernel.py). Exact oracle
+    # fallback is the plain conv path (pallas_conv1=False).
+    pallas_conv1: bool = False
 
     @property
     def head_channels(self) -> int:
@@ -263,7 +267,16 @@ def trunk(params, x, cfg: MSCNNConfig):
     x = x.astype(cfg.cdtype())
     feats = {}
     blocks = list(VGG_BLOCKS)
-    if cfg.s2d_conv1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+    if cfg.pallas_conv1:
+        from mscnn_tpu.ops.pallas import conv1_kernel as CK
+        x = CK.conv1_pool_fused(
+            x, params["conv1_1"]["w"].astype(x.dtype), params["conv1_1"]["b"],
+            params["conv1_2"]["w"].astype(x.dtype), params["conv1_2"]["b"])
+        x = x.astype(cfg.cdtype())
+        feats["pool1"] = x
+        blocks = blocks[2:]  # conv1_1 / conv1_2 consumed (their full-res
+        #                      feats are never read downstream)
+    elif cfg.s2d_conv1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         from mscnn_tpu.ops import s2d
         x = s2d.conv1_block_s2d(
             x, params["conv1_1"]["w"].astype(x.dtype), params["conv1_1"]["b"],
