@@ -153,6 +153,42 @@ def test_widerface_trunk_has_rpn_convs():
     assert "conv6_1" not in params and "loss1_conv1" not in params
 
 
+def test_cascade_mesh_train_step(tiny_cascade):
+    """Cascade training step under shard_map on the 8-device data mesh
+    (the multi-chip path for the cascade family; kept out of
+    __graft_entry__.dryrun_multichip because XLA:CPU compile of the staged
+    graph would blow the driver's dryrun time budget)."""
+    from mscnn_tpu.parallel import data_parallel_mesh
+    from mscnn_tpu.train import solver as S
+    from mscnn_tpu.train import train_step as T
+
+    ccfg, params = tiny_cascade
+    ccfg = dataclasses.replace(ccfg, stages=ccfg.stages[:2])
+    params = CC.init_params(jax.random.key(2), ccfg)
+    mesh = data_parallel_mesh(8)
+    tspec = T.TrainSpec(stage=2, roi_batch=16, with_metrics=False)
+    sspec = S.SolverSpec(base_lr=1e-3, lr_policy="fixed", momentum=0.9)
+
+    def cascade_loss(p, b_, k, _cfg, _tspec):
+        return CC.loss_fn(p, b_, k, ccfg, _tspec, roi_batch=8)
+
+    step = T.make_train_step(ccfg.base, tspec, sspec, mesh=mesh,
+                             donate=False, loss_function=cascade_loss)
+    batch = make_batch(ccfg.base, batch=8)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    state = T.replicate_state(state, mesh)
+    batch = T.shard_batch(batch, mesh)
+    state, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # replicated update stays in sync across the mesh
+    suffix = ccfg.stages[0].suffix
+    w = state["params"]["cls_pred" + suffix]["w"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    assert int(state["solver"]["it"]) == 1
+
+
 def test_detect_cascade_end_to_end(tiny_cascade, rng):
     """Cascade inference surface: image -> staged refinement -> per-class
     NMS with stage-averaged scores."""
