@@ -50,6 +50,41 @@ def _axis(caffe_axis: int) -> int:
     return {0: 0, 1: -1, 2: 1, 3: 2}.get(caffe_axis, caffe_axis)
 
 
+def _to_nchw(shape_nhwc):
+    if len(shape_nhwc) == 4:
+        n, h, w, c = shape_nhwc
+        return [n, c, h, w]
+    return list(shape_nhwc)
+
+
+def _resolve_reshape(dims, in_shape_nhwc):
+    """Caffe ReshapeParameter dims (NCHW order, 0 = copy, -1 = infer) ->
+    concrete NHWC-convention output shape (caffe.proto ReshapeParameter)."""
+    src = _to_nchw(in_shape_nhwc)
+    total = 1
+    for d in src:
+        total *= d
+    out = []
+    infer = None
+    for i, d in enumerate(dims):
+        if d == 0:
+            out.append(src[i])
+        elif d == -1:
+            infer = i
+            out.append(1)
+        else:
+            out.append(int(d))
+    known = 1
+    for d in out:
+        known *= d
+    if infer is not None:
+        out[infer] = total // known
+    if len(out) == 4:
+        n, c, h, w = out
+        return [n, h, w, c]
+    return out
+
+
 def _filler(fp, key, shape, fan_in):
     ftype = str(fp.get("type", "constant")) if fp else "constant"
     if ftype == "constant":
@@ -139,7 +174,7 @@ class Net:
                     else:
                         shapes[t] = tuple(dims)
                 continue
-            if ltype == "Convolution":
+            if ltype in ("Convolution", "Deconvolution"):
                 cp = layer.get("convolution_param", {})
                 k = int(cp.get("kernel_size", 3))
                 kh = int(cp.get("kernel_h", k))
@@ -147,7 +182,8 @@ class Net:
                 out_c = int(cp["num_output"])
                 group = int(cp.get("group", 1))
                 in_c = in_shape[-1] // group
-                wshape = (kh, kw, in_c, out_c)
+                wshape = (kh, kw, in_c, out_c) if ltype == "Convolution" \
+                    else (kh, kw, in_c, out_c)
                 params[name] = {
                     "w": _filler(cp.get("weight_filler"), next(keys), wshape,
                                  kh * kw * in_c),
@@ -156,8 +192,12 @@ class Net:
                 }
                 stride = int(cp.get("stride", 1))
                 pad = int(cp.get("pad", 0))
-                oh = (in_shape[1] + 2 * pad - kh) // stride + 1
-                ow = (in_shape[2] + 2 * pad - kw) // stride + 1
+                if ltype == "Convolution":
+                    oh = (in_shape[1] + 2 * pad - kh) // stride + 1
+                    ow = (in_shape[2] + 2 * pad - kw) // stride + 1
+                else:
+                    oh = stride * (in_shape[1] - 1) + kh - 2 * pad
+                    ow = stride * (in_shape[2] - 1) + kw - 2 * pad
                 shapes[tops[0]] = (in_shape[0], oh, ow, out_c)
             elif ltype == "InnerProduct":
                 ip = layer.get("inner_product_param", {})
@@ -204,15 +244,68 @@ class Net:
                            "EuclideanLoss"):
                 if ltype == "Softmax" and tops:
                     shapes[tops[0]] = in_shape
+            elif ltype == "Slice":
+                sp = layer.get("slice_param", {})
+                ax = _axis(int(sp.get("axis", sp.get("slice_dim", 1))))
+                pts = [int(p) for p in PB.as_list(sp.get("slice_point"))]
+                total = in_shape[ax]
+                if not pts:
+                    step = total // len(tops)
+                    pts = [step * (i + 1) for i in range(len(tops) - 1)]
+                bounds = [0] + pts + [total]
+                for ti, t in enumerate(tops):
+                    sh = list(in_shape)
+                    sh[ax] = bounds[ti + 1] - bounds[ti]
+                    shapes[t] = tuple(sh)
+            elif ltype == "Reshape":
+                dims = [int(d) for d in PB.as_list(
+                    layer["reshape_param"]["shape"]["dim"])]
+                shapes[tops[0]] = tuple(_resolve_reshape(dims, in_shape))
+            elif ltype == "Crop":
+                ref = shapes[bots[1]]
+                cp = layer.get("crop_param", {})
+                ax = int(cp.get("axis", 2))
+                sh = list(in_shape)
+                # NCHW crop axes >= ax take the reference's extent
+                for caffe_ax in range(ax, 4):
+                    sh[_axis(caffe_ax)] = ref[_axis(caffe_ax)]
+                shapes[tops[0]] = tuple(sh)
+            elif ltype == "ArgMax":
+                ap = layer.get("argmax_param", {})
+                k = int(ap.get("top_k", 1))
+                shapes[tops[0]] = (in_shape[0], k)
+            elif ltype == "SPP":
+                ph = int(layer.get("spp_param", {}).get("pyramid_height", 3))
+                d = in_shape[-1] * sum(4 ** l for l in range(ph))
+                shapes[tops[0]] = (in_shape[0], d)
             else:
                 # shape-preserving ops (activations, LRN, Dropout, Eltwise,
-                # Scale with learned params below, Split)
+                # BatchNorm/PReLU/Bias/Scale with learned params below,
+                # Split, MVN)
+                ch = in_shape[-1] if in_shape else 1
                 if ltype == "Scale":
                     sp = layer.get("scale_param", {})
-                    ch = in_shape[-1]
                     params[name] = {"w": jnp.ones(ch)}
                     if sp.get("bias_term", False):
                         params[name]["b"] = jnp.zeros(ch)
+                elif ltype == "PReLU":
+                    pp = layer.get("prelu_param", {})
+                    shared = bool(pp.get("channel_shared", False))
+                    n_slope = 1 if shared else ch
+                    params[name] = {"slope": _filler(
+                        pp.get("filler", {"type": "constant",
+                                          "value": 0.25}),
+                        next(keys), (n_slope,), n_slope)}
+                elif ltype == "BatchNorm":
+                    # running statistics (blobs 0/1; the 1/count scale
+                    # blob is a serialization detail)
+                    params[name] = {"mean": jnp.zeros(ch),
+                                    "var": jnp.ones(ch)}
+                elif ltype == "Bias":
+                    if len(bots) == 1:
+                        bp = layer.get("bias_param", {})
+                        params[name] = {"b": _filler(
+                            bp.get("filler"), next(keys), (ch,), ch)}
                 for t in tops:
                     shapes[t] = in_shape
         self.shapes = shapes
@@ -241,6 +334,13 @@ class Net:
                 out = C.conv2d(bots[0], p["w"], p.get("b"),
                                stride=int(cp.get("stride", 1)),
                                padding=int(cp.get("pad", 0)))
+            elif ltype == "Deconvolution":
+                cp = layer.get("convolution_param", {})
+                p = params[name]
+                out = C.deconv2d(bots[0], p["w"], p.get("b"),
+                                 stride=int(cp.get("stride", 1)),
+                                 pad=int(cp.get("pad", 0)),
+                                 groups=int(cp.get("group", 1)))
             elif ltype == "InnerProduct":
                 p = params[name]
                 x = bots[0].reshape(bots[0].shape[0], -1)
@@ -283,6 +383,98 @@ class Net:
             elif ltype == "Scale":
                 p = params[name]
                 out = LY.scale(bots[0], p["w"], p.get("b"))
+            elif ltype == "PReLU":
+                pp = layer.get("prelu_param", {})
+                out = LY.prelu(bots[0], params[name]["slope"],
+                               bool(pp.get("channel_shared", False)))
+            elif ltype == "BatchNorm":
+                bp = layer.get("batch_norm_param", {})
+                use_global = bool(bp.get("use_global_stats", not train))
+                p = params[name]
+                # batch-stats mode is a pure fn here: the running-average
+                # update is the train loop's job (the reference's
+                # moving_average_fraction handling)
+                out, _, _ = LY.batch_norm(
+                    bots[0], p["mean"], p["var"],
+                    eps=float(bp.get("eps", 1e-5)),
+                    use_global_stats=use_global)
+            elif ltype == "Bias":
+                b = params[name]["b"] if len(bots) == 1 else bots[1]
+                out = LY.bias(bots[0], b)
+            elif ltype == "MVN":
+                mp = layer.get("mvn_param", {})
+                out = LY.mvn(bots[0],
+                             bool(mp.get("normalize_variance", True)),
+                             bool(mp.get("across_channels", False)),
+                             float(mp.get("eps", 1e-9)))
+            elif ltype == "Slice":
+                sp = layer.get("slice_param", {})
+                ax = _axis(int(sp.get("axis", sp.get("slice_dim", 1))))
+                pts = [int(p) for p in PB.as_list(sp.get("slice_point"))]
+                if not pts:
+                    step = bots[0].shape[ax] // len(tops)
+                    pts = [step * (i + 1) for i in range(len(tops) - 1)]
+                pieces = LY.slice_(bots[0], pts, axis=ax)
+                for t, piece in zip(tops, pieces):
+                    blobs[t] = piece
+                continue
+            elif ltype == "Reshape":
+                dims = [int(d) for d in PB.as_list(
+                    layer["reshape_param"]["shape"]["dim"])]
+                out_shape = _resolve_reshape(dims, bots[0].shape)
+                x = bots[0]
+                if x.ndim == 4:          # reshape in NCHW convention
+                    x = jnp.transpose(x, (0, 3, 1, 2))
+                flat = LY.reshape(x, _to_nchw(out_shape))
+                out = jnp.transpose(flat, (0, 2, 3, 1)) \
+                    if len(out_shape) == 4 else flat
+            elif ltype == "ArgMax":
+                ap = layer.get("argmax_param", {})
+                flat = bots[0].reshape(bots[0].shape[0], -1)
+                if bool(ap.get("out_max_val", False)):
+                    idx, vals = LY.argmax(flat, int(ap.get("top_k", 1)),
+                                          out_max_val=True)
+                    out = jnp.stack([idx.astype(vals.dtype), vals], 1)
+                else:
+                    out = LY.argmax(flat, int(ap.get("top_k", 1)))
+            elif ltype == "Tile":
+                tp = layer.get("tile_param", {})
+                out = LY.tile(bots[0], int(tp.get("tiles", 1)),
+                              _axis(int(tp.get("axis", 1))))
+            elif ltype == "Crop":
+                cp = layer.get("crop_param", {})
+                ax = int(cp.get("axis", 2))
+                offs = [int(o) for o in PB.as_list(cp.get("offset"))] or [0]
+                x, ref = bots[0], bots[1]
+                for i, caffe_ax in enumerate(range(ax, 4)):
+                    a = _axis(caffe_ax)
+                    off = offs[i] if i < len(offs) else offs[-1]
+                    x = jax.lax.slice_in_dim(x, off,
+                                             off + ref.shape[a], axis=a)
+                out = x
+            elif ltype == "Reduction":
+                rp = layer.get("reduction_param", {})
+                out = LY.reduction(bots[0],
+                                   str(rp.get("operation", "SUM")).lower(),
+                                   int(rp.get("axis", 0)),
+                                   float(rp.get("coeff", 1.0)))
+            elif ltype == "SPP":
+                pp = layer.get("spp_param", {})
+                out = LY.spp(bots[0],
+                             int(pp.get("pyramid_height", 3)),
+                             str(pp.get("pool", "MAX")).lower())
+            elif ltype == "HingeLoss":
+                hp = layer.get("hinge_loss_param", {})
+                out = LY.hinge_loss(bots[0], bots[1].astype(jnp.int32),
+                                    str(hp.get("norm", "L1")))
+                loss = loss + float(layer.get("loss_weight", 1.0)) * out
+            elif ltype == "SigmoidCrossEntropyLoss":
+                out = LY.sigmoid_cross_entropy_loss(bots[0], bots[1])
+                loss = loss + float(layer.get("loss_weight", 1.0)) * out
+            elif ltype == "MultinomialLogisticLoss":
+                out = LY.multinomial_logistic_loss(
+                    bots[0], bots[1].astype(jnp.int32))
+                loss = loss + float(layer.get("loss_weight", 1.0)) * out
             elif ltype == "Split":
                 for t in tops:
                     blobs[t] = bots[0]

@@ -1,0 +1,170 @@
+"""Extended generic-netbuilder layer coverage: the classic-Caffe types
+beyond the LeNet/CaffeNet core (Deconvolution, PReLU, BatchNorm, Bias,
+MVN, Slice, Reshape, Crop, ArgMax, Tile, Reduction, extra losses). Nets
+are authored with the NetSpec DSL and executed through netbuilder.Net —
+the same path a prototxt file takes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mscnn_tpu.models import netspec
+from mscnn_tpu.models.netbuilder import Net
+
+L = netspec.layers
+P = netspec.params
+
+
+def build(n, phase="TRAIN"):
+    return Net(n.to_prototxt(name="t"), phase=phase)
+
+
+def data_spec(dims):
+    n = netspec.NetSpec()
+    n.data = L.Input(input_param=dict(shape=dict(dim=dims)))
+    return n
+
+
+def run(n, x, phase="TRAIN", train=False, key=None):
+    net = build(n, phase)
+    params = net.init(jax.random.key(0))
+    return net, params, net.apply(params, {"data": jnp.asarray(x)},
+                                  train=train, key=key)
+
+
+def test_deconvolution_upsamples():
+    n = data_spec([1, 3, 8, 8])
+    n.up = L.Deconvolution(n.data, convolution_param=dict(
+        num_output=5, kernel_size=4, stride=2, pad=1,
+        weight_filler=dict(type="xavier")))
+    net, params, blobs = run(n, np.ones((1, 8, 8, 3), np.float32))
+    assert params["up"]["w"].shape == (4, 4, 3, 5)
+    assert blobs["up"].shape == (1, 16, 16, 5)
+    assert net.shapes["up"] == (1, 16, 16, 5)
+
+
+def test_prelu_learned_slope():
+    n = data_spec([1, 2, 4, 4])
+    n.act = L.PReLU(n.data)
+    x = np.full((1, 4, 4, 2), -2.0, np.float32)
+    net, params, blobs = run(n, x)
+    assert params["act"]["slope"].shape == (2,)
+    np.testing.assert_allclose(np.asarray(blobs["act"]), -2.0 * 0.25)
+
+
+def test_batchnorm_global_vs_batch_stats():
+    n = data_spec([4, 3, 2, 2])
+    n.bn = L.BatchNorm(n.data)
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 2, 2, 3).astype(np.float32) * 3 + 1
+    # TEST phase -> running stats (init: mean 0, var 1) = identity-ish
+    net = build(n, "TRAIN")
+    params = net.init(jax.random.key(0))
+    test_out = net.apply(params, {"data": jnp.asarray(x)}, train=False)
+    np.testing.assert_allclose(np.asarray(test_out["bn"]), x, atol=1e-4)
+    # TRAIN -> batch statistics: normalized output
+    train_out = net.apply(params, {"data": jnp.asarray(x)}, train=True)
+    y = np.asarray(train_out["bn"])
+    assert abs(y.mean()) < 1e-4 and abs(y.std() - 1.0) < 0.1
+
+
+def test_bias_and_mvn():
+    n = data_spec([1, 3, 2, 2])
+    n.b = L.Bias(n.data)
+    n.m = L.MVN(n.b)
+    x = np.random.RandomState(1).randn(1, 2, 2, 3).astype(np.float32)
+    _, params, blobs = run(n, x)
+    assert params["b"]["b"].shape == (3,)
+    y = np.asarray(blobs["m"])
+    np.testing.assert_allclose(y.mean((1, 2)), 0.0, atol=1e-5)
+
+
+def test_slice_multi_top():
+    n = data_spec([1, 6, 4, 4])
+    n.a, n.b2 = L.Slice(n.data, ntop=2, slice_param=dict(
+        axis=1, slice_point=[2]))
+    x = np.random.RandomState(2).randn(1, 4, 4, 6).astype(np.float32)
+    net, params, blobs = run(n, x)
+    assert blobs["a"].shape == (1, 4, 4, 2)
+    assert blobs["b2"].shape == (1, 4, 4, 4)
+    np.testing.assert_array_equal(np.asarray(blobs["a"]), x[..., :2])
+    assert net.shapes["b2"] == (1, 4, 4, 4)
+
+
+def test_reshape_nchw_semantics():
+    n = data_spec([2, 3, 4, 5])
+    n.r = L.Reshape(n.data, reshape_param=dict(
+        shape=dict(dim=[0, -1, 2, 5])))
+    x = np.arange(2 * 3 * 4 * 5, dtype=np.float32).reshape(2, 4, 5, 3)
+    net, params, blobs = run(n, x)
+    # NCHW [2,3,4,5] -> [0,-1,2,5] = [2,6,2,5]; back to NHWC [2,2,5,6]
+    assert blobs["r"].shape == (2, 2, 5, 6)
+    # values follow the NCHW reshape, not a raw NHWC reshape
+    nchw = x.transpose(0, 3, 1, 2).reshape(2, 6, 2, 5)
+    np.testing.assert_array_equal(np.asarray(blobs["r"]),
+                                  nchw.transpose(0, 2, 3, 1))
+
+
+def test_crop_with_offsets():
+    n = data_spec([1, 2, 8, 8])
+    n.ref = L.Input(input_param=dict(shape=dict(dim=[1, 2, 5, 4])))
+    n.c = L.Crop(n.data, n.ref, crop_param=dict(axis=2, offset=[1, 2]))
+    x = np.arange(2 * 64, dtype=np.float32).reshape(1, 8, 8, 2)
+    net = build(n)
+    params = net.init(jax.random.key(0))
+    blobs = net.apply(params, {
+        "data": jnp.asarray(x),
+        "ref": jnp.zeros((1, 5, 4, 2), jnp.float32)})
+    assert blobs["c"].shape == (1, 5, 4, 2)
+    np.testing.assert_array_equal(np.asarray(blobs["c"]),
+                                  x[:, 1:6, 2:6, :])
+    assert net.shapes["c"] == (1, 5, 4, 2)
+
+
+def test_argmax_and_tile():
+    n = data_spec([2, 5, 1, 1])
+    n.am = L.ArgMax(n.data, argmax_param=dict(top_k=2))
+    n.t = L.Tile(n.data, tile_param=dict(axis=1, tiles=3))
+    x = np.random.RandomState(3).randn(2, 1, 1, 5).astype(np.float32)
+    _, params, blobs = run(n, x)
+    assert blobs["am"].shape == (2, 2)
+    assert int(blobs["am"][0, 0]) == int(x[0].reshape(-1).argmax())
+    assert blobs["t"].shape == (2, 1, 1, 15)
+
+
+def test_reduction_and_extra_losses():
+    n = data_spec([4, 3, 1, 1])
+    n.label = L.Input(input_param=dict(shape=dict(dim=[4])))
+    n.red = L.Reduction(n.data, reduction_param=dict(operation="MEAN",
+                                                     axis=1))
+    n.flat = L.Flatten(n.data)
+    n.hinge = L.HingeLoss(n.flat, n.label, loss_weight=2.0)
+    x = np.random.RandomState(4).randn(4, 1, 1, 3).astype(np.float32)
+    net = build(n)
+    params = net.init(jax.random.key(0))
+    blobs = net.apply(params, {
+        "data": jnp.asarray(x),
+        "label": jnp.asarray([0, 1, 2, 0], jnp.int32)})
+    assert blobs["red"].shape == (4,)
+    np.testing.assert_allclose(np.asarray(blobs["red"]),
+                               x.reshape(4, 3).mean(1), rtol=1e-6)
+    assert np.isfinite(float(blobs["hinge"]))
+    np.testing.assert_allclose(float(blobs["loss"]),
+                               2.0 * float(blobs["hinge"]), rtol=1e-6)
+
+
+def test_sigmoid_ce_loss():
+    n = data_spec([3, 4, 1, 1])
+    n.tgt = L.Input(input_param=dict(shape=dict(dim=[3, 4, 1, 1])))
+    n.flat = L.Flatten(n.data)
+    n.tflat = L.Flatten(n.tgt)
+    n.l = L.SigmoidCrossEntropyLoss(n.flat, n.tflat)
+    rng = np.random.RandomState(5)
+    net = build(n)
+    params = net.init(jax.random.key(0))
+    blobs = net.apply(params, {
+        "data": jnp.asarray(rng.randn(3, 1, 1, 4), jnp.float32),
+        "tgt": jnp.asarray(rng.rand(3, 1, 1, 4), jnp.float32)})
+    assert np.isfinite(float(blobs["l"]))
+    assert float(blobs["loss"]) == pytest.approx(float(blobs["l"]))
