@@ -216,32 +216,39 @@ def cmd_time(args):
           f"{b / (fwd_ms / 1e3):.2f} infer img/s")
 
     if getattr(args, "stages", False):
-        # per-stage device time + MFU via the loop-slope protocol
-        # (BENCH.md; caffe time's per-layer table, caffe.cpp:373-402,
-        # at subgraph granularity)
+        # per-stage time + MFU: pipelined-dispatch protocol (the only
+        # trustworthy timing through the tunnel, BENCH.md) + XLA
+        # cost-analysis FLOPs; the caffe-time per-layer table
+        # (caffe.cpp:373-402) at subgraph granularity
         from mscnn_tpu.utils import profiling as P
 
-        x1 = images[:1]
         stages = {
-            "trunk": lambda x: M.trunk(params, x, cfg),
-            "full_deploy": lambda x: M.deploy_forward(params, x, cfg),
+            "trunk": jax.jit(lambda p, x: M.trunk(p, x, cfg)),
+            "full_deploy": jax.jit(
+                lambda p, x: M.deploy_forward(p, x, cfg)),
         }
         peak = P.peak_flops()
         print(f"{'stage':<14}{'ms/img':>10}{'GFLOP':>10}{'MFU':>8}")
         rows = {}
-        for name, fn in stages.items():
-            ms = P.chain_time(fn, x1)
-            fl = P.cost_flops(fn, x1)
+        for name, jfn in stages.items():
+            try:  # same jit instance -> the timed calls reuse this compile
+                analysis = jfn.lower(params, images).compile() \
+                              .cost_analysis()
+                if isinstance(analysis, (list, tuple)):
+                    analysis = analysis[0]
+                fl = float(analysis["flops"]) / b
+            except Exception:
+                fl = None
+            ms = bench(jfn, params, images, iters=30) / b
             rows[name] = (ms, fl)
             util = (fl / (ms / 1e3) / peak) if (fl and peak) else None
             print(f"{name:<14}{ms:>10.2f}"
                   f"{(fl or 0) / 1e9:>10.1f}"
                   f"{('%.1f%%' % (100 * util)) if util else '   n/a':>8}")
-        t_ms, t_fl = rows["trunk"]
-        f_ms, f_fl = rows["full_deploy"]
-        if f_fl and t_fl and peak:
+        (t_ms, t_fl), (f_ms, f_fl) = rows["trunk"], rows["full_deploy"]
+        if f_fl and t_fl:
             ms, fl = f_ms - t_ms, f_fl - t_fl
-            util = fl / (ms / 1e3) / peak if ms > 0 else None
+            util = fl / (ms / 1e3) / peak if (ms > 0 and peak) else None
             print(f"{'heads+nms+roi':<14}{ms:>10.2f}{fl / 1e9:>10.1f}"
                   f"{('%.1f%%' % (100 * util)) if util else '   n/a':>8}")
     return 0
@@ -301,9 +308,30 @@ def cmd_detect(args):
                    glob.glob(os.path.join(args.image_dir, "*.jpg")))
     if args.iterations:
         paths = paths[: args.iterations]
+
+    # prefetch image decode on worker threads so host IO overlaps device
+    # compute (KITTI png decode is a similar magnitude to the forward)
+    import collections
+    import concurrent.futures as _cf
+    import itertools
+
+    depth = max(int(getattr(args, "loader_threads", 2) or 2), 1)
+    pool = _cf.ThreadPoolExecutor(max_workers=depth)
+    path_iter = iter(paths)
+    pending = collections.deque(
+        (p, pool.submit(cv2.imread, p, cv2.IMREAD_COLOR))
+        for p in itertools.islice(path_iter, depth + 2))
+
     t0 = _time.perf_counter()
-    for i, path in enumerate(paths):
-        img = cv2.imread(path, cv2.IMREAD_COLOR)
+    i = -1
+    while pending:
+        i += 1
+        path, fut = pending.popleft()
+        img = fut.result()
+        nxt = next(path_iter, None)
+        if nxt is not None:
+            pending.append((nxt,
+                            pool.submit(cv2.imread, nxt, cv2.IMREAD_COLOR)))
         det = run_detect(img)
         stem = os.path.splitext(os.path.basename(path))[0]
         try:
@@ -315,6 +343,7 @@ def cmd_detect(args):
         if (i + 1) % 100 == 0:
             avg = (_time.perf_counter() - t0) / (i + 1)
             print(f"idx {i + 1}/{len(paths)}, avgtime={avg:.4f}s")
+    pool.shutdown()
     n = max(len(paths), 1)
     print(f"Done: {len(paths)} images, "
           f"{(_time.perf_counter() - t0) / n:.4f} s/img, "
@@ -528,6 +557,9 @@ def main(argv=None):
     p_det.add_argument("--class-names",
                        help="comma list incl. bg, e.g. bg,Car,Van,Truck,Tram")
     p_det.add_argument("--score-thr", type=float, default=0.0)
+    p_det.add_argument("--loader-threads", type=int, default=2,
+                       help="image-decode prefetch threads (IO overlaps "
+                            "device compute)")
     _add_common(p_det)
     p_det.set_defaults(fn=cmd_detect)
 

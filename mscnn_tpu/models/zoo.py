@@ -207,8 +207,10 @@ def cascade_widerface_12s_align(*, deploy: bool = False, max_out: int = 512):
         deploy=deploy, max_out=max_out, roi_align=True, use_2x=False))
 
 
-def tiny_test_config(num_classes: int = 3, max_out: int = 32) -> MSCNNConfig:
-    """Small config for unit tests: 2 branches, 64x96 input."""
+def tiny_test_config(num_classes: int = 3, max_out: int = 32,
+                     deploy: bool = False) -> MSCNNConfig:
+    """Small config for unit tests: 2 branches, 64x96 input. `deploy` is
+    accepted for zoo.get() uniformity (same graph both phases here)."""
     branches = (
         BranchSpec("LFCN_1_5x5", "loss1_conv1", 5, 8, 24.0, 24.0),
         BranchSpec("LFCN_2_5x5", "conv5_3", 5, 16, 48.0, 48.0),
@@ -232,6 +234,7 @@ REGISTRY = {
     "widerface/mscnn-12s-2x": widerface_12s_2x,
     "kitti_car/cascade-mscnn-7s-576-2x": cascade_kitti_car_7s_576_2x,
     "widerface/cascade-mscnn-12s-align": cascade_widerface_12s_align,
+    "tiny-test": tiny_test_config,   # CPU-fast config for tests/smoke
 }
 
 

@@ -234,3 +234,30 @@ def test_cli_export_caffemodel(tiny_dataset, tmp_path, capsys):
     assert rc == 0
     blobs = CM.parse_caffemodel(out)
     assert "LFCN_1_5x5" in blobs and "conv1_1" in blobs
+
+
+def test_cli_detect_end_to_end(tmp_path, capsys):
+    """`mscnn detect`: image dir -> KITTI label files, with the prefetching
+    loader (decode threads overlap device compute)."""
+    import cv2
+    from mscnn_tpu import cli
+
+    img_dir = tmp_path / "imgs"
+    out_dir = tmp_path / "out"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+    rc = cli.main(["detect", "--image-dir", str(img_dir),
+                   "--output-dir", str(out_dir), "--zoo", "tiny-test",
+                   "--class-names", "bg,car,van", "--loader-threads", "2"])
+    assert rc == 0
+    assert "Done: 3 images" in capsys.readouterr().out
+    for i in range(3):
+        path = out_dir / f"{i:06d}.txt"
+        assert path.exists()
+        for line in path.read_text().splitlines():
+            f = line.split()
+            assert len(f) == 16 and f[0] in ("car", "van")
+            float(f[15])  # trailing score column parses
