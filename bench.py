@@ -36,7 +36,7 @@ REFERENCE_IMG_PER_SEC = 2.5  # Titan, mscnn deploy (BASELINE.md)
 def bench_deploy(cfg) -> float:
     from mscnn_tpu.models import mscnn as M
 
-    batch = 1
+    batch = int(os.environ.get("MSCNN_BENCH_BATCH", "1"))
     params = M.init_params(jax.random.key(0), cfg)
     h, w = cfg.input_hw
     images = jnp.zeros((batch, h, w, 3), jnp.float32)

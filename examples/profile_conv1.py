@@ -9,40 +9,11 @@ the device must really execute N serial iterations and host/tunnel effects
 """
 
 import json
-import time
 
 import jax
-import jax.lax as lax
 import jax.numpy as jnp
 
-
-def chain_time(make_f, x, args, n_lo=6, n_hi=26, reps=3):
-    """Per-iteration device ms for y = f(x, *args) via loop-slope."""
-
-    def looped(n):
-        def body(i, xc):
-            y = make_f(xc, *args)
-            # fold one output element back into the input: a real data
-            # dependence, numerically negligible
-            upd = (y.reshape(-1)[0] * 1e-20).astype(xc.dtype)
-            return xc.at[(0,) * xc.ndim].add(upd)
-
-        return jax.jit(lambda xv: lax.fori_loop(0, n, body, xv),
-                       static_argnums=())
-
-    f_lo, f_hi = looped(n_lo), looped(n_hi)
-    jax.block_until_ready(f_lo(x))
-    jax.block_until_ready(f_hi(x))
-
-    def t(f):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(x))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return (t(f_hi) - t(f_lo)) / (n_hi - n_lo) * 1e3
+from mscnn_tpu.utils.profiling import chain_time
 
 
 def main():

@@ -8,34 +8,11 @@ bench geometry before committing to a Pallas kernel.
 """
 
 import json
-import time
 
 import jax
-import jax.lax as lax
 import jax.numpy as jnp
 
-
-def chain_time(make_f, x, args, n_lo=6, n_hi=26, reps=3):
-    def looped(n):
-        def body(i, xc):
-            y = make_f(xc, *args)
-            upd = (y.reshape(-1)[0] * 1e-20).astype(xc.dtype)
-            return xc.at[(0,) * xc.ndim].add(upd)
-        return jax.jit(lambda xv: lax.fori_loop(0, n, body, xv))
-
-    f_lo, f_hi = looped(n_lo), looped(n_hi)
-    jax.block_until_ready(f_lo(x))
-    jax.block_until_ready(f_hi(x))
-
-    def t(f):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(x))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return (t(f_hi) - t(f_lo)) / (n_hi - n_lo) * 1e3
+from mscnn_tpu.utils.profiling import chain_time
 
 
 DIMS = ("NHWC", "HWIO", "NHWC")

@@ -113,3 +113,93 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 1) -> Dict[str, float]:
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return {"mean_ms": dt * 1e3, "iters_per_sec": 1.0 / dt}
+
+
+def chain_time(make_f, x, args=(), n_lo: int = 6, n_hi: int = 26,
+               reps: int = 3) -> float:
+    """Per-iteration device ms of `y = make_f(x, *args)` via loop-slope.
+
+    Tunnel-immune protocol (BENCH.md): jit ONE program running the
+    subgraph N times inside lax.fori_loop with a data dependence between
+    iterations (one output element folded back into the input), so the
+    device must execute N serial iterations and host/tunnel effects
+    (~25 ms RTT, execution caching) cannot contaminate the number.
+    Per-iter time = slope between the N=n_lo and N=n_hi programs.
+
+    Scope: validated for single-op / small-block subgraphs (BENCH.md conv1
+    tables). At whole-model scale the scalar fold-back underestimates —
+    XLA dead-code-eliminates everything not feeding the folded leaf across
+    iterations (a full trunk measured 0.81 ms, >peak-FLOP impossible). Use
+    pipelined-dispatch timing (`mscnn time --stages`, bench.py) there."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    def looped(n):
+        def body(i, xc):
+            y = make_f(xc, *args)
+            leaf = jax.tree.leaves(y)[0]
+            upd = (leaf.reshape(-1)[0] * 1e-20).astype(xc.dtype)
+            return xc.at[(0,) * xc.ndim].add(upd)
+
+        return jax.jit(lambda xv: lax.fori_loop(0, n, body, xv))
+
+    f_lo, f_hi = looped(n_lo), looped(n_hi)
+    jax.block_until_ready(f_lo(x))
+    jax.block_until_ready(f_hi(x))
+
+    def t(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (t(f_hi) - t(f_lo)) / (n_hi - n_lo) * 1e3
+
+
+# bf16 peak matmul throughput per chip, FLOP/s (public spec sheets)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops(device=None) -> Optional[float]:
+    """bf16 peak FLOP/s of the attached chip, or None if unknown."""
+    import os
+    if os.environ.get("MSCNN_PEAK_FLOPS"):
+        return float(os.environ["MSCNN_PEAK_FLOPS"])
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    for name, peak in PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def cost_flops(fn, *args) -> Optional[float]:
+    """XLA cost-analysis FLOPs of one call to jitted `fn` (the analytic
+    FLOP count the MFU numbers divide by)."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        analyses = compiled.cost_analysis()
+        if isinstance(analyses, (list, tuple)):
+            analyses = analyses[0]
+        return float(analyses["flops"])
+    except Exception:
+        return None
+
+
+def mfu(flops_per_item: float, items_per_sec: float,
+        device=None) -> Optional[float]:
+    """Model FLOPs utilization in [0, 1], or None if peak is unknown."""
+    peak = peak_flops(device)
+    if not peak or not flops_per_item:
+        return None
+    return flops_per_item * items_per_sec / peak
