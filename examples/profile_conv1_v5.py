@@ -90,7 +90,22 @@ def _kernel_v5(xp_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xbuf, sem,
             preferred_element_type=acc_t)
         return acc.reshape(rows, width, 128)
 
-    tap_dots = tap_dots_mc if mode == "mc" else tap_dots_serial
+    def tap_dots_flat(planes, w_ref, rows, width):
+        # one [M, 768] @ [768, 128] dot: (6, 128) minor dims merged by a
+        # tile-aligned reshape (128 = lane tile)
+        pieces = []
+        for dy in range(3):
+            for plane in planes:
+                pieces.append(plane[dy: dy + rows]
+                              .reshape(rows * width, 1, 128))
+        lhs = jnp.concatenate(pieces, axis=1).reshape(rows * width, 768)
+        rhs = w_ref[...].reshape(768, 128)
+        acc = jax.lax.dot_general(lhs, rhs, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=acc_t)
+        return acc.reshape(rows, width, 128)
+
+    tap_dots = {"mc": tap_dots_mc, "flat": tap_dots_flat}.get(
+        mode, tap_dots_serial)
 
     x = xbuf[slot]
     x_r, x_mix_src = shifts(x, twp)
@@ -203,7 +218,7 @@ def main():
     res["v4_ms"] = chain_time(
         lambda x: CK._conv1_pool_pallas(x, w1, b1, w2, b2,
                                         tile_h=32, tile_q=128), x)
-    for mode in ("mc", "bf16"):
+    for mode in ("flat",):
         try:
             out = jax.device_get(
                 conv1_v5(x, w1, b1, w2, b2, mode=mode)).astype("float32")
