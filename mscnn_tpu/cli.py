@@ -293,7 +293,16 @@ def cmd_detect(args):
     names = args.class_names.split(",") if args.class_names else \
         I.KITTI_CLASS_NAMES["kitti_car"][: cfg.num_classes]
     spec = I.DetectSpec(score_thr=args.score_thr)
-    if ccfg is not None:
+    n_dev = int(getattr(args, "devices", 1) or 1)
+    if n_dev > 1 and ccfg is None:
+        # data-parallel serving: one sharded deploy call per n_dev images
+        from mscnn_tpu.parallel import data_parallel_mesh
+        mesh = data_parallel_mesh(n_dev)
+        fwd = I.make_forward(params, cfg, mesh=mesh)
+
+        def run_detect_batch(imgs):
+            return I.detect_batch(params, imgs, cfg, spec, fwd=fwd)
+    elif ccfg is not None:
         fwd = I.make_cascade_forward(params, ccfg)
 
         def run_detect(img):
@@ -322,17 +331,7 @@ def cmd_detect(args):
         (p, pool.submit(cv2.imread, p, cv2.IMREAD_COLOR))
         for p in itertools.islice(path_iter, depth + 2))
 
-    t0 = _time.perf_counter()
-    i = -1
-    while pending:
-        i += 1
-        path, fut = pending.popleft()
-        img = fut.result()
-        nxt = next(path_iter, None)
-        if nxt is not None:
-            pending.append((nxt,
-                            pool.submit(cv2.imread, nxt, cv2.IMREAD_COLOR)))
-        det = run_detect(img)
+    def write_one(i, path, det):
         stem = os.path.splitext(os.path.basename(path))[0]
         try:
             img_idx = int(stem)
@@ -343,6 +342,30 @@ def cmd_detect(args):
         if (i + 1) % 100 == 0:
             avg = (_time.perf_counter() - t0) / (i + 1)
             print(f"idx {i + 1}/{len(paths)}, avgtime={avg:.4f}s")
+
+    t0 = _time.perf_counter()
+    i = -1
+    group = []   # (i, path, img) accumulator for the sharded-batch path
+    while pending:
+        i += 1
+        path, fut = pending.popleft()
+        img = fut.result()
+        nxt = next(path_iter, None)
+        if nxt is not None:
+            pending.append((nxt,
+                            pool.submit(cv2.imread, nxt, cv2.IMREAD_COLOR)))
+        if n_dev > 1 and ccfg is None:
+            group.append((i, path, img))
+            if len(group) == n_dev or not pending:
+                # pad the tail to the static batch, drop the extras
+                imgs = [g[2] for g in group]
+                imgs += [imgs[-1]] * (n_dev - len(imgs))
+                dets = run_detect_batch(imgs)
+                for (gi, gpath, _), det in zip(group, dets):
+                    write_one(gi, gpath, det)
+                group = []
+        else:
+            write_one(i, path, run_detect(img))
     pool.shutdown()
     n = max(len(paths), 1)
     print(f"Done: {len(paths)} images, "

@@ -139,9 +139,76 @@ def detect(params, image_bgr: np.ndarray, cfg: M.MSCNNConfig,
     }
 
 
-def make_forward(params, cfg: M.MSCNNConfig):
-    """Pre-jitted deploy forward for batch loops over many images."""
-    return jax.jit(lambda p, im: M.deploy_forward(p, im, cfg))
+def make_forward(params, cfg: M.MSCNNConfig, mesh=None):
+    """Pre-jitted deploy forward for batch loops over many images.
+
+    With `mesh` (a 1-D "data" jax.sharding.Mesh), the image batch is
+    sharded over the mesh and params are replicated — synchronous
+    data-parallel serving over ICI, the inference analog of the P2PSync
+    training tree (the reference has no multi-GPU inference path; this is
+    a strict superset)."""
+    if mesh is None:
+        return jax.jit(lambda p, im: M.deploy_forward(p, im, cfg))
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    rep = NamedSharding(mesh, PS())
+    shard = NamedSharding(mesh, PS("data"))
+    return jax.jit(lambda p, im: M.deploy_forward(p, im, cfg),
+                   in_shardings=(rep, shard))
+
+
+def detect_batch(params, images_bgr: Sequence[np.ndarray],
+                 cfg: M.MSCNNConfig, spec: DetectSpec = DetectSpec(), *,
+                 mean_values=(104.0, 117.0, 123.0), fwd=None,
+                 mesh=None) -> list:
+    """Batched detection: one deploy-graph call for N images (optionally
+    sharded over a device mesh), then per-image decode. Returns one
+    `detect()`-shaped dict per input image.
+
+    The deploy graph emits proposals in image-major order (R =
+    cfg.proposal.max_out rows per image), so per-image outputs are static
+    slices — no host-side gathers."""
+    import cv2
+
+    net_h, net_w = cfg.input_hw
+    xs, metas = [], []
+    for img in images_bgr:
+        oh, ow = img.shape[:2]
+        resized = cv2.resize(img, (net_w, net_h),
+                             interpolation=cv2.INTER_LINEAR)
+        xs.append(resized.astype(np.float32)
+                  - np.asarray(mean_values, np.float32))
+        metas.append((oh, ow))
+    x = jnp.asarray(np.stack(xs))
+    if fwd is None:
+        fwd = make_forward(params, cfg, mesh=mesh)
+    outputs = fwd(params, x)
+
+    R = cfg.proposal.max_out
+    results = []
+    for i, (oh, ow) in enumerate(metas):
+        sub = {
+            "rois": outputs["rois"][i * R:(i + 1) * R],
+            "roi_scores": outputs["roi_scores"][i * R:(i + 1) * R],
+            "roi_valid": outputs["roi_valid"][i * R:(i + 1) * R],
+            "cls_pred": outputs["cls_pred"][i * R:(i + 1) * R],
+            "bbox_pred": outputs["bbox_pred"][i * R:(i + 1) * R],
+        }
+        ratios = jnp.asarray([net_h / oh, net_w / ow], jnp.float32)
+        orig_wh = jnp.asarray([ow, oh], jnp.float32)
+        boxes, scores, valid = postprocess(sub, ratios, orig_wh, cfg, spec)
+        props = np.asarray(sub["rois"], np.float64)
+        props[:, [0, 2]] /= float(ratios[1])
+        props[:, [1, 3]] /= float(ratios[0])
+        results.append({
+            "boxes": np.asarray(boxes),
+            "scores": np.asarray(scores),
+            "valid": np.asarray(valid),
+            "proposals": props,
+            "proposal_scores": np.asarray(sub["roi_scores"]),
+            "proposal_valid": np.asarray(sub["roi_valid"]),
+        })
+    return results
 
 
 def make_cascade_forward(params, ccfg):

@@ -124,3 +124,29 @@ def test_kitti_writers_roundtrip(tmp_path):
                            [(1, 10, 20, 30, 40, 0.9)])
     line = open(tmp_path / "d.txt").read().strip()
     assert line == "1,10,20,30,40,0.9"
+
+
+def test_detect_batch_matches_single(rng):
+    """detect_batch == per-image detect, with and without a device mesh
+    (the data-parallel serving path)."""
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.parallel import data_parallel_mesh
+
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(0), cfg)
+    spec = I.DetectSpec(max_per_class=8)
+    imgs = [rng.randint(0, 255, (70 + 10 * i, 100, 3)).astype(np.uint8)
+            for i in range(8)]
+
+    singles = [I.detect(params, im, cfg, spec) for im in imgs]
+    batched = I.detect_batch(params, imgs, cfg, spec)
+    mesh = data_parallel_mesh(8)
+    sharded = I.detect_batch(params, imgs, cfg, spec, mesh=mesh)
+
+    assert len(batched) == len(sharded) == 8
+    for s, b, m in zip(singles, batched, sharded):
+        for k in ("boxes", "scores", "valid", "proposals"):
+            np.testing.assert_allclose(b[k], s[k], rtol=1e-4, atol=1e-3,
+                                       err_msg=f"batched {k}")
+            np.testing.assert_allclose(m[k], s[k], rtol=1e-4, atol=1e-3,
+                                       err_msg=f"sharded {k}")

@@ -261,3 +261,29 @@ def test_cli_detect_end_to_end(tmp_path, capsys):
             f = line.split()
             assert len(f) == 16 and f[0] in ("car", "van")
             float(f[15])  # trailing score column parses
+
+
+def test_cli_detect_sharded(tmp_path, capsys):
+    """`mscnn detect --devices 8`: sharded batched serving path, padded
+    tail batch; output identical in form to the per-image path."""
+    import cv2
+    from mscnn_tpu import cli
+
+    img_dir = tmp_path / "imgs"
+    out1 = tmp_path / "out1"
+    out8 = tmp_path / "out8"
+    img_dir.mkdir()
+    rng = np.random.RandomState(7)
+    for i in range(3):
+        img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+    base = ["--image-dir", str(img_dir), "--zoo", "tiny-test",
+            "--class-names", "bg,car,van"]
+    assert cli.main(["detect", "--output-dir", str(out1)] + base) == 0
+    assert cli.main(["detect", "--output-dir", str(out8),
+                     "--devices", "8"] + base) == 0
+    capsys.readouterr()
+    for i in range(3):
+        a = (out1 / f"{i:06d}.txt").read_text()
+        b = (out8 / f"{i:06d}.txt").read_text()
+        assert a == b, f"sharded output diverged for image {i}"
