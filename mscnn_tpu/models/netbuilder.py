@@ -182,8 +182,8 @@ class Net:
                 out_c = int(cp["num_output"])
                 group = int(cp.get("group", 1))
                 in_c = in_shape[-1] // group
-                wshape = (kh, kw, in_c, out_c) if ltype == "Convolution" \
-                    else (kh, kw, in_c, out_c)
+                wshape = (kh, kw, in_c, out_c)   # HWIO both ways
+                #  (deconv2d takes forward-orientation HWIO, ops/conv.py:89)
                 params[name] = {
                     "w": _filler(cp.get("weight_filler"), next(keys), wshape,
                                  kh * kw * in_c),
