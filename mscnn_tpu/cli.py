@@ -427,6 +427,68 @@ def cmd_export(args):
     return 0
 
 
+def cmd_summary(args):
+    """Layer table of a net prototxt: name, type, output shape, param
+    count (tools/extra/summarize.py parity, plus shapes via the generic
+    netbuilder's shape inference)."""
+    from mscnn_tpu.config import prototxt as PB
+    from mscnn_tpu.models.netbuilder import Net
+
+    net = Net(args.net, phase=args.phase)
+    shapes, counts = {}, {}
+    try:
+        params = net.init(jax.random.key(0))
+        shapes = net.shapes
+        counts = {name: sum(int(v.size) for v in p.values())
+                  for name, p in params.items()}
+    except Exception as e:  # still print the topology for exotic nets
+        print(f"(shape inference unavailable: {e})")
+    total = 0
+    print(f"{'layer':<24}{'type':<18}{'output shape':<22}{'params':>10}")
+    for layer in net.layers:
+        name = str(layer.get("name"))
+        tops = [str(t) for t in PB.as_list(layer.get("top"))]
+        shape = shapes.get(tops[0]) if tops else None
+        n = counts.get(name, 0)
+        total += n
+        print(f"{name:<24}{str(layer.get('type')):<18}"
+              f"{str(shape or ''):<22}{n:>10,}")
+    print(f"{'TOTAL':<64}{total:>10,}")
+    return 0
+
+
+def cmd_plot_log(args):
+    """Training curves from a Solve-loop log -> png
+    (tools/extra/plot_training_log.py.example parity)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from mscnn_tpu.utils import parse_log as PL
+
+    rows = PL.parse_log_file(args.log)
+    if not rows:
+        print("no iterations found in log")
+        return 1
+    keys = sorted({k for r in rows for k in r}
+                  - {"iteration", "iters_per_sec"})
+    wanted = args.keys.split(",") if args.keys else ["loss"]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for key in wanted:
+        if key not in keys:
+            print(f"(no values for {key!r}; available: {', '.join(keys)})")
+            continue
+        pts = [(r["iteration"], r[key]) for r in rows if key in r]
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], label=key)
+    ax.set_xlabel("iteration")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=120)
+    print(f"Wrote {args.out} ({len(rows)} points)")
+    return 0
+
+
 def cmd_upgrade_proto(args):
     """Migrate a legacy V0/V1 net or solver prototxt to the modern schema
     (tools/upgrade_net_proto_text.cpp / upgrade_solver_proto_text.cpp)."""
@@ -633,6 +695,22 @@ def main(argv=None):
     p_exp.add_argument("-o", "--output", required=True,
                        help="output .caffemodel path")
     p_exp.set_defaults(fn=cmd_export)
+
+    p_sum = sub.add_parser(
+        "summary", help="layer table of a net prototxt (name/type/shape/"
+                        "params)")
+    p_sum.add_argument("--net", required=True)
+    p_sum.add_argument("--phase", default="TRAIN",
+                       choices=["TRAIN", "TEST"])
+    p_sum.set_defaults(fn=cmd_summary)
+
+    p_plot = sub.add_parser(
+        "plot_log", help="plot training curves from a solve log")
+    p_plot.add_argument("--log", required=True)
+    p_plot.add_argument("--out", required=True, help="output .png path")
+    p_plot.add_argument("--keys", default=None,
+                        help="comma list of metric keys (default: loss)")
+    p_plot.set_defaults(fn=cmd_plot_log)
 
     for kind in ("net", "solver"):
         p_up = sub.add_parser(

@@ -166,3 +166,17 @@ def test_cli_draw(tmp_path):
     rc = cli.main(["draw", "--net", str(proto), "--out", str(out)])
     assert rc == 0
     assert out.read_text().startswith("digraph")
+
+
+def test_cli_summary(tmp_path, capsys):
+    from mscnn_tpu import cli
+
+    proto = tmp_path / "net.prototxt"
+    proto.write_text(lenet().to_prototxt(name="lenet"))
+    assert cli.main(["summary", "--net", str(proto)]) == 0
+    out = capsys.readouterr().out
+    assert "conv1" in out and "Convolution" in out
+    # conv1: 5x5x1x20 + 20 bias = 520 params; shape after conv 24x24x20
+    assert "520" in out
+    assert "(2, 24, 24, 20)" in out
+    assert "TOTAL" in out

@@ -31,3 +31,19 @@ def test_parse_real_loop_output(tmp_path):
     PL.write_csv(rows, str(out))
     header = out.read_text().splitlines()[0]
     assert "iteration" in header and "train_cls_accuracy" in header
+
+
+def test_cli_plot_log(tmp_path, capsys):
+    from mscnn_tpu import cli
+
+    log = tmp_path / "train.log"
+    log.write_text("\n".join(
+        f"Iteration {i} (2.0 iter/s), loss = {1.0 / (i + 1):.4f}, "
+        f"lr = 0.001\n    Train net output: cls_accuracy = 0.{5 + i}"
+        for i in range(4)))
+    out = tmp_path / "curves.png"
+    rc = cli.main(["plot_log", "--log", str(log), "--out", str(out),
+                   "--keys", "loss,train_cls_accuracy"])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 1000
+    assert "4 points" in capsys.readouterr().out
