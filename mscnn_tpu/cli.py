@@ -427,6 +427,28 @@ def cmd_export(args):
     return 0
 
 
+def cmd_resize_images(args):
+    """Batch-resize an image dir/list to fixed geometry
+    (tools/extra/resize_and_crop_images.py parity)."""
+    import glob
+    import os
+
+    from mscnn_tpu import tools as TL
+
+    if os.path.isdir(args.source):
+        paths = sorted(sum((glob.glob(os.path.join(args.source, pat))
+                            for pat in ("*.png", "*.jpg", "*.jpeg")), []))
+    else:
+        paths = [l.split()[0] for l in open(args.source)
+                 if l.strip()]
+    n = TL.resize_and_crop_images(paths, args.output_dir,
+                                  width=args.width, height=args.height,
+                                  crop=not args.no_crop,
+                                  workers=args.workers)
+    print(f"Wrote {n}/{len(paths)} images to {args.output_dir}")
+    return 0
+
+
 def cmd_summary(args):
     """Layer table of a net prototxt: name, type, output shape, param
     count (tools/extra/summarize.py parity, plus shapes via the generic
@@ -695,6 +717,18 @@ def main(argv=None):
     p_exp.add_argument("-o", "--output", required=True,
                        help="output .caffemodel path")
     p_exp.set_defaults(fn=cmd_export)
+
+    p_rs = sub.add_parser(
+        "resize_images", help="batch resize/center-crop an image dir or "
+                              "list to fixed geometry")
+    p_rs.add_argument("source", help="image directory or list file")
+    p_rs.add_argument("--output-dir", required=True)
+    p_rs.add_argument("--width", type=int, required=True)
+    p_rs.add_argument("--height", type=int, required=True)
+    p_rs.add_argument("--no-crop", action="store_true",
+                      help="plain resize (do not preserve aspect + crop)")
+    p_rs.add_argument("--workers", type=int, default=4)
+    p_rs.set_defaults(fn=cmd_resize_images)
 
     p_sum = sub.add_parser(
         "summary", help="layer table of a net prototxt (name/type/shape/"

@@ -204,6 +204,20 @@ def _encode_blob(arr: np.ndarray) -> bytes:
     return shape + _w_len(5, arr.astype("<f4").tobytes())
 
 
+def array_to_blobproto(arr: np.ndarray) -> bytes:
+    """numpy array -> BlobProto wire bytes (pycaffe io.py
+    array_to_blobproto parity; caffe.proto BlobProto: shape field 7,
+    packed float data field 5)."""
+    return _encode_blob(np.asarray(arr))
+
+
+def blobproto_to_array(data: bytes) -> np.ndarray:
+    """BlobProto wire bytes -> numpy array (pycaffe io.py
+    blobproto_to_array parity; accepts legacy num/channels/height/width
+    shape fields as well as BlobShape)."""
+    return _parse_blob(memoryview(data))
+
+
 def _conv_from_hwio(w: np.ndarray) -> np.ndarray:
     # HWIO -> OIHW (inverse of _conv_to_hwio)
     return np.transpose(w, (3, 2, 0, 1))

@@ -188,3 +188,43 @@ def extract_features(params, cfg, image_paths: Sequence[str],
                     shapes[name] = v.shape
                 dsets[name][i] = v
     return shapes
+
+
+def resize_and_crop_images(paths: Sequence[str], output_dir: str, *,
+                           width: int, height: int, crop: bool = True,
+                           workers: int = 4) -> int:
+    """Batch-resize images to a fixed geometry
+    (tools/extra/resize_and_crop_images.py parity). With crop=True the
+    aspect ratio is preserved: scale so the image covers width x height,
+    then center-crop; otherwise plain resize. Thread pool instead of the
+    reference's MapReduce scaffolding (cv2 releases the GIL). Returns the
+    number of images written."""
+    import concurrent.futures as cf
+    import os
+
+    import cv2
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    def one(path):
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            return 0
+        h, w = img.shape[:2]
+        if crop:
+            s = max(width / w, height / h)
+            rw, rh = max(int(round(w * s)), width), \
+                max(int(round(h * s)), height)
+            img = cv2.resize(img, (rw, rh),
+                             interpolation=cv2.INTER_LINEAR)
+            x0 = (rw - width) // 2
+            y0 = (rh - height) // 2
+            img = img[y0:y0 + height, x0:x0 + width]
+        else:
+            img = cv2.resize(img, (width, height),
+                             interpolation=cv2.INTER_LINEAR)
+        cv2.imwrite(os.path.join(output_dir, os.path.basename(path)), img)
+        return 1
+
+    with cf.ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+        return sum(pool.map(one, paths))

@@ -177,3 +177,32 @@ def test_extract_features(disk_dataset, tmp_path):
         assert f["conv4_3"].shape == (2, h // 8, w // 8, 512)
         assert np.isfinite(f["conv4_3"][:]).all()
         assert np.isfinite(f["LFCN_1_5x5"][:]).all()
+
+
+def test_blobproto_roundtrip():
+    from mscnn_tpu.io import caffemodel as CM
+
+    arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    back = CM.blobproto_to_array(CM.array_to_blobproto(arr))
+    np.testing.assert_array_equal(back, arr)
+    assert back.shape == (2, 3, 4)
+
+
+def test_cli_resize_images(tmp_path, capsys):
+    import cv2
+    from mscnn_tpu import cli
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i, (h, w) in enumerate([(40, 80), (80, 40), (64, 64)]):
+        cv2.imwrite(str(src / f"im{i}.png"),
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8))
+    rc = cli.main(["resize_images", str(src), "--output-dir", str(dst),
+                   "--width", "32", "--height", "24"])
+    assert rc == 0
+    assert "Wrote 3/3" in capsys.readouterr().out
+    for i in range(3):
+        img = cv2.imread(str(dst / f"im{i}.png"))
+        assert img.shape == (24, 32, 3)   # crop preserves aspect first
