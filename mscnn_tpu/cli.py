@@ -294,14 +294,16 @@ def cmd_detect(args):
         I.KITTI_CLASS_NAMES["kitti_car"][: cfg.num_classes]
     spec = I.DetectSpec(score_thr=args.score_thr)
     n_dev = int(getattr(args, "devices", 1) or 1)
-    if n_dev > 1 and ccfg is None:
+    if n_dev > 1:
         # data-parallel serving: one sharded deploy call per n_dev images
         from mscnn_tpu.parallel import data_parallel_mesh
         mesh = data_parallel_mesh(n_dev)
-        fwd = I.make_forward(params, cfg, mesh=mesh)
+        fwd = I.make_cascade_forward(params, ccfg, mesh=mesh) \
+            if ccfg is not None else I.make_forward(params, cfg, mesh=mesh)
 
         def run_detect_batch(imgs):
-            return I.detect_batch(params, imgs, cfg, spec, fwd=fwd)
+            return I.detect_batch(params, imgs, cfg, spec, fwd=fwd,
+                                  cascade=ccfg)
     elif ccfg is not None:
         fwd = I.make_cascade_forward(params, ccfg)
 
@@ -354,7 +356,7 @@ def cmd_detect(args):
         if nxt is not None:
             pending.append((nxt,
                             pool.submit(cv2.imread, nxt, cv2.IMREAD_COLOR)))
-        if n_dev > 1 and ccfg is None:
+        if n_dev > 1:
             group.append((i, path, img))
             if len(group) == n_dev or not pending:
                 # pad the tail to the static batch, drop the extras

@@ -160,10 +160,11 @@ def make_forward(params, cfg: M.MSCNNConfig, mesh=None):
 def detect_batch(params, images_bgr: Sequence[np.ndarray],
                  cfg: M.MSCNNConfig, spec: DetectSpec = DetectSpec(), *,
                  mean_values=(104.0, 117.0, 123.0), fwd=None,
-                 mesh=None) -> list:
+                 mesh=None, cascade=None) -> list:
     """Batched detection: one deploy-graph call for N images (optionally
     sharded over a device mesh), then per-image decode. Returns one
-    `detect()`-shaped dict per input image.
+    `detect()`-shaped dict per input image. Pass the CascadeConfig as
+    `cascade` for staged models (then `cfg` must be `cascade.base`).
 
     The deploy graph emits proposals in image-major order (R =
     cfg.proposal.max_out rows per image), so per-image outputs are static
@@ -181,8 +182,20 @@ def detect_batch(params, images_bgr: Sequence[np.ndarray],
         metas.append((oh, ow))
     x = jnp.asarray(np.stack(xs))
     if fwd is None:
-        fwd = make_forward(params, cfg, mesh=mesh)
+        fwd = make_cascade_forward(params, cascade, mesh=mesh) \
+            if cascade is not None else make_forward(params, cfg, mesh=mesh)
     outputs = fwd(params, x)
+
+    post_cfg = cfg
+    if cascade is not None:
+        import dataclasses as _dc
+        # final refinement decodes with the LAST stage's tight bbox std;
+        # class-agnostic 8-wide bbox_pred expands to every class column
+        post_cfg = _dc.replace(cfg, bbox_mean=(0.0,) * 4,
+                               bbox_std=cascade.stages[-1].bbox_std)
+        outputs = dict(outputs)
+        outputs["bbox_pred"] = jnp.tile(outputs["bbox_pred"][:, 4:8],
+                                        (1, cfg.num_classes))
 
     R = cfg.proposal.max_out
     results = []
@@ -196,7 +209,8 @@ def detect_batch(params, images_bgr: Sequence[np.ndarray],
         }
         ratios = jnp.asarray([net_h / oh, net_w / ow], jnp.float32)
         orig_wh = jnp.asarray([ow, oh], jnp.float32)
-        boxes, scores, valid = postprocess(sub, ratios, orig_wh, cfg, spec)
+        boxes, scores, valid = postprocess(sub, ratios, orig_wh,
+                                           post_cfg, spec)
         props = np.asarray(sub["rois"], np.float64)
         props[:, [0, 2]] /= float(ratios[1])
         props[:, [1, 3]] /= float(ratios[0])
@@ -211,11 +225,12 @@ def detect_batch(params, images_bgr: Sequence[np.ndarray],
     return results
 
 
-def make_cascade_forward(params, ccfg):
+def make_cascade_forward(params, ccfg, mesh=None):
     """Cascade deploy forward (run_cascademscnn.m reads the 3rd-stage
     blobs): emits the last-stage rois plus the stage-averaged class
     probabilities, presented as log-probs so postprocess's softmax
-    reproduces them exactly."""
+    reproduces them exactly. `mesh` shards the image batch as in
+    make_forward."""
     from mscnn_tpu.models import cascade as CC
 
     def fwd(p, im):
@@ -225,7 +240,12 @@ def make_cascade_forward(params, ccfg):
             jnp.maximum(out.pop("cls_prob_avg"), 1e-20))
         return out
 
-    return jax.jit(fwd)
+    if mesh is None:
+        return jax.jit(fwd)
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    return jax.jit(fwd, in_shardings=(NamedSharding(mesh, PS()),
+                                      NamedSharding(mesh, PS("data"))))
 
 
 def detect_cascade(params, image_bgr: np.ndarray, ccfg,

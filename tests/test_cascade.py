@@ -209,3 +209,22 @@ def test_detect_cascade_end_to_end(tiny_cascade, rng):
             if ok:
                 assert b[0] >= 0 and b[1] >= 0
                 assert b[0] + b[2] <= 120 + 1e-3 and b[1] + b[3] <= 80 + 1e-3
+
+
+def test_detect_batch_cascade_matches_single(tiny_cascade, rng):
+    """Sharded batched cascade serving == per-image detect_cascade."""
+    from mscnn_tpu import inference as I
+    from mscnn_tpu.parallel import data_parallel_mesh
+
+    ccfg, params = tiny_cascade
+    spec = I.DetectSpec(max_per_class=8)
+    imgs = [rng.randint(0, 255, (80, 120, 3)).astype(np.uint8)
+            for _ in range(4)]
+    singles = [I.detect_cascade(params, im, ccfg, spec) for im in imgs]
+    mesh = data_parallel_mesh(4)
+    batched = I.detect_batch(params, imgs, ccfg.base, spec,
+                             mesh=mesh, cascade=ccfg)
+    for s, b in zip(singles, batched):
+        for k in ("boxes", "scores", "valid"):
+            np.testing.assert_allclose(b[k], s[k], rtol=1e-4, atol=1e-3,
+                                       err_msg=f"cascade batched {k}")
