@@ -279,8 +279,16 @@ def cmd_detect(args):
         cfg = ccfg.base
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
-        if ccfg is not None:
-            ccfg = dataclasses.replace(ccfg, base=cfg)
+    conv1 = getattr(args, "conv1", "auto") or "auto"
+    if conv1 == "auto":
+        # the fused Pallas conv1 wins end-to-end on TPU at bf16 (BENCH.md);
+        # exact-oracle plain path everywhere else
+        conv1 = "pallas" if (jax.default_backend() == "tpu"
+                             and cfg.compute_dtype == "bfloat16") else "plain"
+    cfg = dataclasses.replace(cfg, pallas_conv1=conv1 == "pallas",
+                              s2d_conv1=conv1 == "s2d")
+    if ccfg is not None:
+        ccfg = dataclasses.replace(ccfg, base=cfg)
 
     if ccfg is not None:
         from mscnn_tpu.models import cascade as CC
@@ -623,6 +631,10 @@ def _add_common(p):
     p.add_argument("--iterations", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--conv1", default="auto",
+                   choices=["auto", "plain", "s2d", "pallas"],
+                   help="conv1 strategy (auto: fused Pallas kernel on "
+                        "TPU at bf16, else plain)")
     p.add_argument("--no-native", action="store_true",
                    help="use the Python data pipeline instead of the "
                         "C++ loader")
