@@ -12,6 +12,11 @@ set -euo pipefail
 dir="${1:?usage: $0 <model_dir> [vgg16.caffemodel]}"
 vgg="${2:-}"
 
+# make the package importable from anywhere, preserving any existing
+# PYTHONPATH entries (e.g. a TPU-plugin sitecustomize directory)
+repo="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+export PYTHONPATH="${repo}${PYTHONPATH:+:$PYTHONPATH}"
+
 cd "$dir"
 w1=()
 [ -n "$vgg" ] && w1=(--weights "$vgg")

@@ -21,6 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _apply_conv1(cfg, args):
+    """Resolve the --conv1 strategy flag onto a config. auto = the fused
+    Pallas kernel on TPU at bf16 (BENCH.md: +5% deploy, train-neutral),
+    else the exact-oracle plain path. The Pallas kernel computes in bf16,
+    so an explicit 'pallas' at f32 compute is rejected rather than
+    silently degrading precision."""
+    conv1 = getattr(args, "conv1", "auto") or "auto"
+    if conv1 == "auto":
+        conv1 = "pallas" if (jax.default_backend() == "tpu"
+                             and cfg.compute_dtype == "bfloat16") else "plain"
+    elif conv1 == "pallas" and cfg.compute_dtype != "bfloat16":
+        raise SystemExit("--conv1 pallas requires --bf16 (the fused "
+                         "kernel computes in bfloat16)")
+    return dataclasses.replace(cfg, pallas_conv1=conv1 == "pallas",
+                               s2d_conv1=conv1 == "s2d")
+
+
 def _cascade_objective(params, batch, key, cfg, tspec, *, ccfg, roi_batch):
     from mscnn_tpu.models import cascade as CC
     return CC.loss_fn(params, batch, key, ccfg, tspec, roi_batch=roi_batch)
@@ -60,8 +77,9 @@ def _build_training(args, solver_path):
         dspec = dataclasses.replace(dspec, batch_size=args.batch_size)
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
-        if ccfg is not None:
-            ccfg = dataclasses.replace(ccfg, base=cfg)
+    cfg = _apply_conv1(cfg, args)
+    if ccfg is not None:
+        ccfg = dataclasses.replace(ccfg, base=cfg)
 
     window_file = args.window_file or os.path.join(
         os.path.dirname(net_path), source)
@@ -186,6 +204,7 @@ def cmd_time(args):
         tspec = T.TrainSpec()
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    cfg = _apply_conv1(cfg, args)
     b = args.batch_size or 4
     h, w = cfg.input_hw
     params = M.init_params(jax.random.key(0), cfg)
@@ -279,14 +298,7 @@ def cmd_detect(args):
         cfg = ccfg.base
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
-    conv1 = getattr(args, "conv1", "auto") or "auto"
-    if conv1 == "auto":
-        # the fused Pallas conv1 wins end-to-end on TPU at bf16 (BENCH.md);
-        # exact-oracle plain path everywhere else
-        conv1 = "pallas" if (jax.default_backend() == "tpu"
-                             and cfg.compute_dtype == "bfloat16") else "plain"
-    cfg = dataclasses.replace(cfg, pallas_conv1=conv1 == "pallas",
-                              s2d_conv1=conv1 == "s2d")
+    cfg = _apply_conv1(cfg, args)
     if ccfg is not None:
         ccfg = dataclasses.replace(ccfg, base=cfg)
 
@@ -356,27 +368,32 @@ def cmd_detect(args):
     t0 = _time.perf_counter()
     i = -1
     group = []   # (i, path, img) accumulator for the sharded-batch path
-    while pending:
-        i += 1
-        path, fut = pending.popleft()
-        img = fut.result()
-        nxt = next(path_iter, None)
-        if nxt is not None:
-            pending.append((nxt,
-                            pool.submit(cv2.imread, nxt, cv2.IMREAD_COLOR)))
-        if n_dev > 1:
-            group.append((i, path, img))
-            if len(group) == n_dev or not pending:
-                # pad the tail to the static batch, drop the extras
-                imgs = [g[2] for g in group]
-                imgs += [imgs[-1]] * (n_dev - len(imgs))
-                dets = run_detect_batch(imgs)
-                for (gi, gpath, _), det in zip(group, dets):
-                    write_one(gi, gpath, det)
-                group = []
-        else:
-            write_one(i, path, run_detect(img))
-    pool.shutdown()
+    try:
+        while pending:
+            i += 1
+            path, fut = pending.popleft()
+            img = fut.result()
+            nxt = next(path_iter, None)
+            if nxt is not None:
+                pending.append(
+                    (nxt, pool.submit(cv2.imread, nxt, cv2.IMREAD_COLOR)))
+            if img is None:
+                print(f"skipping unreadable image {path}")
+                continue
+            if n_dev > 1:
+                group.append((i, path, img))
+                if len(group) == n_dev or not pending:
+                    # pad the tail to the static batch, drop the extras
+                    imgs = [g[2] for g in group]
+                    imgs += [imgs[-1]] * (n_dev - len(imgs))
+                    dets = run_detect_batch(imgs)
+                    for (gi, gpath, _), det in zip(group, dets):
+                        write_one(gi, gpath, det)
+                    group = []
+            else:
+                write_one(i, path, run_detect(img))
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     n = max(len(paths), 1)
     print(f"Done: {len(paths)} images, "
           f"{(_time.perf_counter() - t0) / n:.4f} s/img, "

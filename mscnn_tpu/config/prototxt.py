@@ -153,18 +153,28 @@ def layer_phase(layer: Message) -> str:
 # Parsing collapses the quoted-string / bare-enum distinction to plain str;
 # on the way out, protobuf text format requires enums bare and strings
 # quoted. Enum values in caffe.proto are ALL_CAPS identifiers (TRAIN, MAX,
-# LMDB, ...) and no string-typed field in the zoo holds such a value, so the
-# shape of the atom decides.
+# LMDB, ...), so the shape of the atom decides — EXCEPT for fields that
+# caffe.proto types as string (a net named "MSCNN" must stay quoted or the
+# reference's TextFormat parser rejects the file).
 _ENUM_ATOM = re.compile(r"^[A-Z][A-Z0-9_]*$")
 
+# string-typed fields of caffe.proto that could plausibly hold an
+# ALL_CAPS value (names, paths, type strings, lr_policy etc.)
+_STRING_FIELDS = frozenset({
+    "name", "type", "top", "bottom", "source", "mean_file", "root_folder",
+    "snapshot_prefix", "net", "train_net", "test_net", "lr_policy",
+    "regularization_type", "module", "layer", "crop_mode", "learned_net",
+    "window_file", "label_file", "sample_mode",
+})
 
-def _emit_value(v) -> str:
+
+def _emit_value(v, field: str = "") -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (int, float)):
         return repr(v)
     s = str(v)
-    if _ENUM_ATOM.match(s):
+    if _ENUM_ATOM.match(s) and field not in _STRING_FIELDS:
         return s
     return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
 
@@ -186,5 +196,5 @@ def emit_prototxt(msg: Message, indent: int = 0) -> str:
                     lines.append(body)
                 lines.append(f"{pad}}}")
             else:
-                lines.append(f"{pad}{key}: {_emit_value(v)}")
+                lines.append(f"{pad}{key}: {_emit_value(v, key)}")
     return "\n".join(lines)

@@ -244,6 +244,29 @@ def _fc_after_pool_inverse(w: np.ndarray, spatial: int,
     return w.reshape(out_dim, channels * spatial * spatial)
 
 
+def infer_fc_after_pool(params_like) -> dict:
+    """{fc layer: (spatial, channels)} for FC layers that flatten a spatial
+    conv activation, inferred from an MS-CNN params/history pytree: each
+    `fc6<suffix>` consumes the matching `roi_c1<suffix>`'s output at
+    spatial = sqrt(fc_in / roi_c1_out) (models/mscnn.py roi_head flattens
+    NHWC; the reference flattens NCHW, so these layers need the
+    permutation on both import and export). Layers whose shapes do not
+    factor that way are left out."""
+    out = {}
+    for name, p in params_like.items():
+        if not name.startswith("fc6") or "w" not in p:
+            continue
+        rc = params_like.get("roi_c1" + name[len("fc6"):])
+        if rc is None or "w" not in rc:
+            continue
+        ch = int(np.asarray(rc["w"]).shape[-1])
+        in_dim = int(np.asarray(p["w"]).shape[0])
+        s = int(round((in_dim // ch) ** 0.5)) if ch else 0
+        if s > 1 and s * s * ch == in_dim:
+            out[name] = (s, ch)
+    return out
+
+
 def _export_weight(name: str, w: np.ndarray,
                    deconv_names, fc_after_pool) -> Tuple[str, np.ndarray]:
     """Map one of our weights to (caffe layer type, caffe-layout array)."""
@@ -285,8 +308,10 @@ def save_caffemodel(params, path: str, *, net_name: str = "mscnn_tpu",
     fc_after_pool layers).  Emits current-format LayerParameter messages
     (field 100; name=1, type=2, blobs=7).  Returns the number of layers
     written.  Ref: net.cpp:856-866.
+    fc_after_pool defaults to the MS-CNN inference (fc6* after roi_c1*).
     """
-    fc_after_pool = fc_after_pool or {}
+    if fc_after_pool is None:
+        fc_after_pool = infer_fc_after_pool(params)
     out = [_w_len(1, net_name.encode())]
     n = 0
     for name, ltype, blobs in _iter_layer_blobs(params, deconv_names,
@@ -301,18 +326,22 @@ def save_caffemodel(params, path: str, *, net_name: str = "mscnn_tpu",
     return n
 
 
-def save_solverstate(state, params, path: str, *, learned_net: str = "",
+def save_solverstate(state, path: str, *, learned_net: str = "",
+                     current_step: int = 0,
                      deconv_names=("conv4_3_2x",),
                      fc_after_pool: Optional[dict] = None) -> int:
     """Write solver history as a SolverState binaryproto.
 
     History blobs are emitted in Net::learnable_params order (params
     insertion order, weight then bias per layer) with the same layout
-    transposes as the weights, so the reference's SGDSolver could resume
+    transposes as the weights, so the reference's SGDSolver can resume
     from them.  state: our solver-state pytree ({"it", "h1", ...}); only h1
-    maps onto Caffe's single history vector.  Ref: sgd_solver.cpp:246-302.
+    maps onto Caffe's single history vector.  current_step: the multistep
+    lr-policy stage index (solver.lr_current_step; 0 for other policies).
+    Ref: sgd_solver.cpp:246-302.
     """
-    fc_after_pool = fc_after_pool or {}
+    if fc_after_pool is None:
+        fc_after_pool = infer_fc_after_pool(state["h1"])
     it = int(np.asarray(state["it"]))
     out = [_w_varint((1 << 3) | WIRE_VARINT) + _w_varint(it)]
     if learned_net:
@@ -323,7 +352,8 @@ def save_solverstate(state, params, path: str, *, learned_net: str = "",
         for b in blobs:
             out.append(_w_len(3, _encode_blob(b)))
             n += 1
-    out.append(_w_varint((4 << 3) | WIRE_VARINT) + _w_varint(0))
+    out.append(_w_varint((4 << 3) | WIRE_VARINT)
+               + _w_varint(int(current_step)))
     with open(path, "wb") as f:
         f.write(b"".join(out))
     return n
@@ -352,10 +382,12 @@ def load_solverstate_history(path: str, state_template,
                              fc_after_pool: Optional[dict] = None):
     """Map a SolverState's positional history blobs back onto our solver
     state pytree (inverse layout transposes applied per the template's
-    layer names/shapes).  Returns (state, iter)."""
+    layer names/shapes).  Returns (state, iter).  fc_after_pool defaults
+    to the MS-CNN inference (infer_fc_after_pool over the template)."""
     import jax.numpy as jnp
 
-    fc_after_pool = fc_after_pool or {}
+    if fc_after_pool is None:
+        fc_after_pool = infer_fc_after_pool(state_template["h1"])
     parsed = parse_solverstate(path)
     hist = list(parsed["history"])
     h1 = {}
@@ -400,14 +432,15 @@ def load_caffemodel_params(path: str, params, cfg=None,
     CopyTrainedLayersFrom semantics (net.cpp:750-786).
     fc_after_pool: {layer_name: (spatial, channels)} for FC layers directly
     consuming a flattened conv activation (e.g. {"fc6": (5, 512)} when fc6
-    follows the 3x3-VALID roi_c1 over a 7x7 pool). Defaults to {} (imported
-    VGG trunks contain no such layer; fc6 here is roi-stage and trains fresh
-    unless importing a full MS-CNN snapshot).
+    follows the 3x3-VALID roi_c1 over a 7x7 pool). Defaults to the MS-CNN
+    inference (infer_fc_after_pool: fc6* after roi_c1*), so full MS-CNN
+    snapshots round-trip; pass {} explicitly to disable.
     """
     import jax.numpy as jnp
 
     blobs = parse_caffemodel(path)
-    fc_after_pool = fc_after_pool or {}
+    if fc_after_pool is None:
+        fc_after_pool = infer_fc_after_pool(params)
     out = {}
     report = {"copied": [], "skipped": [], "mismatched": []}
     for name, p in params.items():

@@ -37,7 +37,8 @@ def snapshot(prefix: str, train_state, it: Optional[int] = None) -> str:
 
 
 def snapshot_caffemodel(prefix: str, train_state,
-                        it: Optional[int] = None) -> str:
+                        it: Optional[int] = None,
+                        current_step: int = 0) -> str:
     """Write `<prefix>_iter_N.caffemodel` + `.solverstate` in the
     reference's binaryproto snapshot format (snapshot_format: BINARYPROTO;
     solver.cpp:403-419, sgd_solver.cpp:246-302) so reference tooling can
@@ -51,9 +52,10 @@ def snapshot_caffemodel(prefix: str, train_state,
     CM.save_caffemodel(params, base + ".caffemodel")
     solver = jax.device_get(train_state["solver"])
     if "h1" in solver:
-        CM.save_solverstate(solver, params, base + ".solverstate",
+        CM.save_solverstate(solver, base + ".solverstate",
                             learned_net=os.path.basename(base) +
-                            ".caffemodel")
+                            ".caffemodel",
+                            current_step=current_step)
     return base + ".caffemodel"
 
 

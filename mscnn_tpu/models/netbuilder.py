@@ -120,24 +120,23 @@ class Net:
         self.phase = phase
         self.layers = [l for l in PB.layers(self.proto)
                        if PB.layer_phase(l) in (phase, "BOTH")]
+        # ctor-supplied shapes take precedence over prototxt-declared ones
+        # (legacy top-level input/input_dim is normalized into an Input
+        # layer by upgrade_input, so only Input layers remain here)
         self.input_shapes = dict(input_shapes or {})
-        # legacy top-level inputs
-        for name in PB.as_list(self.proto.get("input")):
-            dims = [int(d) for d in PB.as_list(self.proto.get("input_dim"))]
-            if dims and name not in self.input_shapes:
-                n, c, h, w = dims[:4]
-                self.input_shapes[name] = (n, h, w, c)
 
     def inputs(self) -> Dict[str, tuple]:
-        """Input blob name -> NHWC shape (explicit input_shapes, legacy
-        top-level inputs, and Input layers)."""
+        """Input blob name -> NHWC shape (explicit input_shapes override
+        Input-layer declarations)."""
         out = dict(self.input_shapes)
         for layer in self.layers:
             if layer.get("type") != "Input":
                 continue
             tops = [str(t) for t in PB.as_list(layer.get("top"))]
-            sh_list = PB.as_list(layer["input_param"]["shape"])
+            sh_list = PB.as_list(layer.get("input_param", {}).get("shape"))
             for ti, t in enumerate(tops):
+                if not sh_list:
+                    continue   # dims must come from ctor input_shapes
                 dims = [int(d) for d in PB.as_list(
                     sh_list[min(ti, len(sh_list) - 1)]["dim"])]
                 if len(dims) == 4:
@@ -163,9 +162,17 @@ class Net:
 
             if ltype == "Input":
                 # InputParameter.shape is repeated: one per top (or one
-                # shared shape, caffe.proto InputParameter)
-                sh_list = PB.as_list(layer["input_param"]["shape"])
+                # shared shape, caffe.proto InputParameter); ctor
+                # input_shapes (already in `shapes`) win
+                sh_list = PB.as_list(layer.get("input_param", {})
+                                     .get("shape"))
                 for ti, t in enumerate(tops):
+                    if t in shapes:
+                        continue
+                    if not sh_list:
+                        raise ValueError(
+                            f"Input layer {name!r} declares no shape; "
+                            f"pass input_shapes={{{t!r}: ...}}")
                     sh = sh_list[min(ti, len(sh_list) - 1)]
                     dims = [int(d) for d in PB.as_list(sh["dim"])]
                     if len(dims) == 4:
@@ -273,7 +280,8 @@ class Net:
             elif ltype == "ArgMax":
                 ap = layer.get("argmax_param", {})
                 k = int(ap.get("top_k", 1))
-                shapes[tops[0]] = (in_shape[0], k)
+                shapes[tops[0]] = (in_shape[0], 2, k) \
+                    if ap.get("out_max_val", False) else (in_shape[0], k)
             elif ltype == "SPP":
                 ph = int(layer.get("spp_param", {}).get("pyramid_height", 3))
                 d = in_shape[-1] * sum(4 ** l for l in range(ph))

@@ -34,9 +34,12 @@ def initialize(coordinator_address: Optional[str] = None,
             return
         except RuntimeError as e:
             # tolerated in the best-effort auto-detect path only: repeat
-            # initialization, or a backend brought up before us (the caller
-            # is already running single/multi-process either way)
+            # initialization ("should only be called once" on this jax;
+            # older versions said "already initialized"), or a backend
+            # brought up before us (the caller is already running
+            # single/multi-process either way)
             if ("already initialized" not in str(e)
+                    and "should only be called once" not in str(e)
                     and "must be called before" not in str(e)):
                 raise
             return

@@ -18,6 +18,7 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
+from mscnn_tpu.config import prototxt as PB
 from mscnn_tpu.io import checkpoint as CKPT
 from mscnn_tpu.train import solver as S
 
@@ -35,6 +36,8 @@ class LoopSpec:
     snapshot_format: str = "orbax"  # orbax | binaryproto (reference wire)
     sigint_effect: str = "stop"    # stop | snapshot | none
     sighup_effect: str = "snapshot"
+    stepvalue: tuple = ()          # multistep lr boundaries (for the
+    #                                solverstate current_step field)
 
 
 class SignalActions:
@@ -70,7 +73,11 @@ def _snapshot(spec: LoopSpec, train_state, it) -> str:
     reference's .caffemodel/.solverstate pair (Solver::Snapshot,
     solver.cpp:403-419)."""
     if spec.snapshot_format == "binaryproto":
-        return CKPT.snapshot_caffemodel(spec.snapshot_prefix, train_state, it)
+        # current_step = multistep lr stage index (sgd_solver.cpp's
+        # this->current_step_), so the reference resumes the lr schedule
+        cur = sum(1 for sv in spec.stepvalue if it >= int(sv))
+        return CKPT.snapshot_caffemodel(spec.snapshot_prefix, train_state,
+                                        it, current_step=cur)
     return CKPT.snapshot(spec.snapshot_prefix, train_state, it)
 
 
@@ -178,4 +185,6 @@ def loop_spec_from_solver_fields(fields: dict,
                          == "BINARYPROTO" else "orbax"),
         snapshot_prefix=snapshot_prefix
         or str(fields.get("snapshot_prefix", "mscnn")),
+        stepvalue=tuple(int(v)
+                        for v in PB.as_list(fields.get("stepvalue"))),
     )

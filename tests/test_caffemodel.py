@@ -275,7 +275,7 @@ def test_solverstate_roundtrip(tmp_path):
     state["it"] = jnp.asarray(1234, jnp.int32)
 
     path = tmp_path / "snap.solverstate"
-    CM.save_solverstate(state, params, str(path), learned_net="snap.caffemodel")
+    CM.save_solverstate(state, str(path), learned_net="snap.caffemodel")
     parsed = CM.parse_solverstate(str(path))
     assert parsed["iter"] == 1234
     assert parsed["learned_net"] == "snap.caffemodel"
@@ -285,3 +285,43 @@ def test_solverstate_roundtrip(tmp_path):
     restored, it = CM.load_solverstate_history(str(path), template)
     assert it == 1234
     _assert_params_equal(restored["h1"], state["h1"])
+
+
+def test_fc_after_pool_inferred_by_default(tmp_path, rng):
+    """Full MS-CNN snapshots apply the fc6 NCHW-flatten permutation
+    WITHOUT the caller passing fc_after_pool: the mapping is inferred from
+    roi_c1*/fc6* shapes, so reference snapshots import unscrambled and our
+    exports feed the reference correctly."""
+    s, c, out_dim = 5, 512, 48
+    params = {
+        "roi_c1": {"w": jnp.asarray(rng.randn(3, 3, 2 * c, c) * 0.1,
+                                    jnp.float32),
+                   "b": jnp.zeros(c)},
+        "fc6": {"w": jnp.asarray(rng.randn(s * s * c, out_dim) * 0.1,
+                                 jnp.float32),
+                "b": jnp.zeros(out_dim)},
+    }
+    inferred = CM.infer_fc_after_pool(params)
+    assert inferred == {"fc6": (s, c)}
+    path = tmp_path / "m.caffemodel"
+    CM.save_caffemodel(params, str(path))          # default: inferred
+    back, rep = CM.load_caffemodel_params(str(path), params)  # default too
+    np.testing.assert_allclose(np.asarray(back["fc6"]["w"]),
+                               np.asarray(params["fc6"]["w"]), atol=1e-6)
+    # disabling the mapping on ONE side scrambles fc6 -> proves the
+    # permutation is real, not an identity
+    scrambled, _ = CM.load_caffemodel_params(str(path), params,
+                                             fc_after_pool={})
+    assert not np.allclose(np.asarray(scrambled["fc6"]["w"]),
+                           np.asarray(params["fc6"]["w"]))
+
+
+def test_solverstate_current_step_field(tmp_path):
+    state = {"it": jnp.asarray(120, jnp.int32),
+             "h1": {"conv": {"w": jnp.zeros((3, 3, 2, 4)),
+                             "b": jnp.zeros(4)}}}
+    path = tmp_path / "s.solverstate"
+    CM.save_solverstate(state, str(path), current_step=3)
+    parsed = CM.parse_solverstate(str(path))
+    assert parsed["iter"] == 120
+    assert parsed["current_step"] == 3

@@ -56,3 +56,21 @@ def test_global_data_parallel_mesh():
     mesh = D.global_data_parallel_mesh()
     assert mesh.axis_names == ("data",)
     assert mesh.devices.size == jax.device_count()
+
+
+def test_initialize_tolerates_repeat_init(monkeypatch):
+    """jax 0.9's repeat-initialization RuntimeError ('should only be
+    called once') is tolerated in the auto-detect path."""
+    import jax
+
+    def boom():
+        raise RuntimeError("distributed.initialize should only be called "
+                           "once.")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    D.initialize()          # must not raise
+
+    def other():
+        raise RuntimeError("backend exploded")
+    monkeypatch.setattr(jax.distributed, "initialize", other)
+    with pytest.raises(RuntimeError):
+        D.initialize()

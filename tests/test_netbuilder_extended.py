@@ -168,3 +168,33 @@ def test_sigmoid_ce_loss():
         "tgt": jnp.asarray(rng.rand(3, 1, 1, 4), jnp.float32)})
     assert np.isfinite(float(blobs["l"]))
     assert float(blobs["loss"]) == pytest.approx(float(blobs["l"]))
+
+
+def test_input_shapes_ctor_override():
+    """Explicit input_shapes win over the Input layer's declared dims."""
+    n = data_spec([1, 3, 8, 8])
+    n.conv = L.Convolution(n.data, kernel_size=3, num_output=4, pad=1)
+    net = Net(n.to_prototxt(), input_shapes={"data": (2, 16, 16, 3)})
+    params = net.init(jax.random.key(0))
+    assert net.shapes["conv"] == (2, 16, 16, 4)
+    assert net.inputs()["data"] == (2, 16, 16, 3)
+
+
+def test_input_layer_without_shape_needs_ctor_dims():
+    text = 'layer { name: "input" type: "Input" top: "data" }\n' \
+           'layer { name: "c" type: "Convolution" bottom: "data" ' \
+           'top: "c" convolution_param { num_output: 2 kernel_size: 3 } }'
+    with pytest.raises(ValueError, match="declares no shape"):
+        Net(text).init(jax.random.key(0))
+    net = Net(text, input_shapes={"data": (1, 8, 8, 3)})
+    params = net.init(jax.random.key(0))
+    assert params["c"]["w"].shape == (3, 3, 3, 2)
+
+
+def test_argmax_out_max_val_shape():
+    n = data_spec([2, 5, 1, 1])
+    n.am = L.ArgMax(n.data, argmax_param=dict(top_k=3, out_max_val=True))
+    x = np.random.RandomState(1).randn(2, 1, 1, 5).astype(np.float32)
+    net, params, blobs = run(n, x)
+    assert blobs["am"].shape == (2, 2, 3)
+    assert net.shapes["am"] == (2, 2, 3)

@@ -180,3 +180,18 @@ def test_cli_summary(tmp_path, capsys):
     assert "520" in out
     assert "(2, 24, 24, 20)" in out
     assert "TOTAL" in out
+
+
+def test_emit_quotes_allcaps_string_fields():
+    """String-typed fields stay quoted even when ALL_CAPS, so the
+    reference's TextFormat parser accepts emitted files."""
+    assert PB.emit_prototxt({"name": "MSCNN"}) == 'name: "MSCNN"'
+    assert PB.emit_prototxt({"lr_policy": "STEP"}) == 'lr_policy: "STEP"'
+    # enum-typed fields stay bare
+    assert PB.emit_prototxt({"phase": "TRAIN"}) == "phase: TRAIN"
+    # round-trip still holds
+    msg = {"name": "CONV1", "layer": [{"name": "A", "type": "ReLU",
+                                       "phase": "TEST"}]}
+    back = PB.parse_prototxt(PB.emit_prototxt(msg))
+    assert back["name"] == "CONV1"
+    assert PB.layers(back) == msg["layer"]
