@@ -287,3 +287,23 @@ def test_cli_detect_sharded(tmp_path, capsys):
         a = (out1 / f"{i:06d}.txt").read_text()
         b = (out8 / f"{i:06d}.txt").read_text()
         assert a == b, f"sharded output diverged for image {i}"
+
+
+def test_apply_conv1_resolution():
+    """--conv1 resolution: auto -> plain off-TPU; explicit pallas at f32
+    is rejected instead of silently degrading precision."""
+    import argparse
+    from mscnn_tpu import cli
+    from mscnn_tpu.models import zoo
+
+    cfg = zoo.tiny_test_config()
+    auto = cli._apply_conv1(cfg, argparse.Namespace(conv1="auto"))
+    assert not auto.pallas_conv1 and not auto.s2d_conv1  # CPU backend
+    with pytest.raises(SystemExit):
+        cli._apply_conv1(cfg, argparse.Namespace(conv1="pallas"))
+    import dataclasses
+    bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    on = cli._apply_conv1(bf, argparse.Namespace(conv1="pallas"))
+    assert on.pallas_conv1
+    s2d = cli._apply_conv1(cfg, argparse.Namespace(conv1="s2d"))
+    assert s2d.s2d_conv1 and not s2d.pallas_conv1
