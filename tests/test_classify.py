@@ -85,3 +85,32 @@ def test_detector_windows(tmp_path):
     assert out[0]["window"] == (0, 0, 10, 10)
     assert out[0]["prediction"].shape == (4,)
     np.testing.assert_allclose(out[1]["prediction"].sum(), 1.0, rtol=1e-4)
+
+
+def test_classifier_loads_caffemodel_weights(tmp_path):
+    """Classifier(weights=...) pulls conv/fc blobs from a .caffemodel with
+    the caffe->NHWC layout transposes applied."""
+    import jax
+    import jax.numpy as jnp
+    from mscnn_tpu.io import caffemodel as CM
+    from mscnn_tpu.models.netbuilder import Net
+
+    proto = tmp_path / "net.prototxt"
+    proto.write_text(tiny_classifier_prototxt())
+    net = Net(str(proto), phase="TEST")
+    params = net.init(jax.random.key(7))
+    path = str(tmp_path / "w.caffemodel")
+    CM.save_caffemodel({k: dict(v) for k, v in params.items()}, path)
+
+    clf = CL.Classifier(str(proto), weights=path, image_dims=(16, 16))
+    for lname in ("conv1", "ip"):
+        np.testing.assert_allclose(
+            np.asarray(clf.params[lname]["w"]),
+            np.asarray(params[lname]["w"]), atol=1e-6,
+            err_msg=f"{lname} weights not restored")
+    # and predictions equal a driver primed with the same params directly
+    ref = CL.Classifier(str(proto), image_dims=(16, 16), seed=7)
+    img = np.random.RandomState(0).rand(20, 20, 3).astype(np.float32)
+    np.testing.assert_allclose(clf.predict([img], oversample_crops=False),
+                               ref.predict([img], oversample_crops=False),
+                               rtol=1e-4, atol=1e-5)
