@@ -330,10 +330,11 @@ def cmd_detect(args):
         def run_detect(img):
             return I.detect_cascade(params, img, ccfg, spec, fwd=fwd)
     else:
-        fwd = I.make_forward(params, cfg)
+        # single-dispatch serving graph: uint8 transfer + in-graph decode
+        fwd = I.make_e2e_forward(params, cfg, spec)
 
         def run_detect(img):
-            return I.detect(params, img, cfg, spec, fwd=fwd)
+            return I.detect(params, img, cfg, spec, e2e_fwd=fwd)
 
     paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")) +
                    glob.glob(os.path.join(args.image_dir, "*.jpg")))
@@ -353,7 +354,12 @@ def cmd_detect(args):
         (p, pool.submit(cv2.imread, p, cv2.IMREAD_COLOR))
         for p in itertools.islice(path_iter, depth + 2))
 
+    done = {"n": 0, "t_first": None}
+
     def write_one(i, path, det):
+        done["n"] += 1
+        if done["n"] == 1:
+            done["t_first"] = _time.perf_counter()   # first call compiles
         stem = os.path.splitext(os.path.basename(path))[0]
         try:
             img_idx = int(stem)
@@ -395,9 +401,13 @@ def cmd_detect(args):
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
     n = max(len(paths), 1)
-    print(f"Done: {len(paths)} images, "
-          f"{(_time.perf_counter() - t0) / n:.4f} s/img, "
-          f"labels in {args.output_dir}")
+    end = _time.perf_counter()
+    msg = f"Done: {len(paths)} images, {(end - t0) / n:.4f} s/img"
+    if done["n"] > 1 and done["t_first"] is not None:
+        steady = (end - done["t_first"]) / (done["n"] - 1)
+        msg += (f" ({steady:.4f} s/img steady-state; first call includes"
+                f" compile)")
+    print(msg + f", labels in {args.output_dir}")
     return 0
 
 

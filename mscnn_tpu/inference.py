@@ -101,14 +101,44 @@ def postprocess(outputs, ratios, orig_wh, cfg: M.MSCNNConfig,
     return boxes, scores, valid_out
 
 
+def make_e2e_forward(params, cfg: M.MSCNNConfig,
+                     spec: DetectSpec = DetectSpec(), *,
+                     mean_values=(104.0, 117.0, 123.0)):
+    """ONE jitted graph from uint8 net-size image to final detections.
+
+    Serving fast path: the image crosses host->device as uint8 (4x less
+    traffic than f32; mean-subtract runs on device) and decode/per-class
+    NMS run in-graph, so each image costs a single dispatch returning
+    small arrays — the eager per-op postprocess dominated the CLI's
+    steady state on dispatch-latency-bound links (BENCH.md round 2).
+    Returned callable: f(params, img_u8 [H,W,3], ratios [2],
+    orig_wh [2]) -> detect()-shaped dict of device arrays."""
+    mean = jnp.asarray(mean_values, jnp.float32)
+
+    def fwd(p, img_u8, ratios, orig_wh):
+        x = img_u8.astype(jnp.float32) - mean
+        outputs = M.deploy_forward(p, x[None], cfg)
+        boxes, scores, valid = postprocess(outputs, ratios, orig_wh,
+                                           cfg, spec)
+        return {
+            "boxes": boxes, "scores": scores, "valid": valid,
+            "rois": outputs["rois"],
+            "roi_scores": outputs["roi_scores"],
+            "roi_valid": outputs["roi_valid"],
+        }
+
+    return jax.jit(fwd)
+
+
 def detect(params, image_bgr: np.ndarray, cfg: M.MSCNNConfig,
            spec: DetectSpec = DetectSpec(), *,
-           mean_values=(104.0, 117.0, 123.0), fwd=None):
+           mean_values=(104.0, 117.0, 123.0), fwd=None, e2e_fwd=None):
     """Single-image detection: resize -> mean-sub -> deploy graph -> decode.
 
     image_bgr: HWC uint8 BGR (cv2.imread layout). Returns dict with
     per-class fixed-shape detections in original image coordinates plus the
-    rescaled proposals.
+    rescaled proposals. Pass e2e_fwd=make_e2e_forward(...) for the
+    single-dispatch serving path (identical outputs).
     """
     import cv2
 
@@ -116,17 +146,27 @@ def detect(params, image_bgr: np.ndarray, cfg: M.MSCNNConfig,
     net_h, net_w = cfg.input_hw
     resized = cv2.resize(image_bgr, (net_w, net_h),
                          interpolation=cv2.INTER_LINEAR)
-    x = resized.astype(np.float32) - np.asarray(mean_values, np.float32)
-    x = jnp.asarray(x)[None]
-
-    if fwd is None:
-        fwd = jax.jit(lambda p, im: M.deploy_forward(p, im, cfg))
-    outputs = fwd(params, x)
     ratios = jnp.asarray([net_h / orig_h, net_w / orig_w], jnp.float32)
     orig_wh = jnp.asarray([orig_w, orig_h], jnp.float32)
-    boxes, scores, valid = postprocess(outputs, ratios, orig_wh, cfg, spec)
 
-    props = np.asarray(outputs["rois"], np.float64)
+    if e2e_fwd is not None:
+        out = e2e_fwd(params, jnp.asarray(resized.astype(np.uint8)),
+                      ratios, orig_wh)
+        boxes, scores, valid = out["boxes"], out["scores"], out["valid"]
+        rois, rscores, rvalid = (out["rois"], out["roi_scores"],
+                                 out["roi_valid"])
+    else:
+        x = resized.astype(np.float32) - np.asarray(mean_values,
+                                                    np.float32)
+        if fwd is None:
+            fwd = jax.jit(lambda p, im: M.deploy_forward(p, im, cfg))
+        outputs = fwd(params, jnp.asarray(x)[None])
+        boxes, scores, valid = postprocess(outputs, ratios, orig_wh,
+                                           cfg, spec)
+        rois, rscores, rvalid = (outputs["rois"], outputs["roi_scores"],
+                                 outputs["roi_valid"])
+
+    props = np.asarray(rois, np.float64)
     props[:, [0, 2]] /= float(ratios[1])
     props[:, [1, 3]] /= float(ratios[0])
     return {
@@ -134,8 +174,8 @@ def detect(params, image_bgr: np.ndarray, cfg: M.MSCNNConfig,
         "scores": np.asarray(scores),
         "valid": np.asarray(valid),
         "proposals": props,
-        "proposal_scores": np.asarray(outputs["roi_scores"]),
-        "proposal_valid": np.asarray(outputs["roi_valid"]),
+        "proposal_scores": np.asarray(rscores),
+        "proposal_valid": np.asarray(rvalid),
     }
 
 

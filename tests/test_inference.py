@@ -150,3 +150,22 @@ def test_detect_batch_matches_single(rng):
                                        err_msg=f"batched {k}")
             np.testing.assert_allclose(m[k], s[k], rtol=1e-4, atol=1e-3,
                                        err_msg=f"sharded {k}")
+
+
+def test_e2e_forward_matches_detect(rng):
+    """The single-dispatch serving graph (uint8 in, in-graph postprocess)
+    produces identical results to the eager detect path."""
+    from mscnn_tpu.models import mscnn as M
+
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(0), cfg)
+    spec = I.DetectSpec(max_per_class=8)
+    e2e = I.make_e2e_forward(params, cfg, spec)
+    for shape in ((80, 120, 3), (64, 96, 3)):
+        img = rng.randint(0, 255, shape).astype(np.uint8)
+        a = I.detect(params, img, cfg, spec)
+        b = I.detect(params, img, cfg, spec, e2e_fwd=e2e)
+        for k in ("boxes", "scores", "valid", "proposals",
+                  "proposal_scores", "proposal_valid"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-5, atol=1e-5,
+                                       err_msg=f"e2e {k} diverged")
