@@ -101,6 +101,16 @@ def _filler(fp, key, shape, fan_in):
         return fillers.msra(key, shape)
     if ftype == "positive_unitball":
         return fillers.positive_unitball(key, shape)
+    if ftype == "bilinear":
+        # caffe's BilinearFiller (filler.hpp:244) writes the same k x k
+        # bilinear-interpolation pattern into every (in,out) channel pair
+        # (used with group=num_output for depthwise 2x deconv upsampling)
+        from mscnn_tpu.ops.conv import bilinear_kernel
+        if len(shape) != 4 or shape[0] != shape[1]:
+            raise ValueError(
+                f"bilinear filler requires a square conv kernel, got {shape}")
+        pattern = bilinear_kernel(shape[0], 1)  # [k, k, 1, 1]
+        return jnp.broadcast_to(pattern, shape)
     raise ValueError(f"unsupported filler {ftype!r}")
 
 

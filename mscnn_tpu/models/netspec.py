@@ -22,8 +22,11 @@ classes): messages here are the plain nested dicts of config.prototxt, so
 `assign` is structural rather than descriptor-driven, and the
 layer-type -> parameter-field map is a table derived from caffe.proto
 (LayerParameter fields 100-155, src/caffe/proto/caffe.proto:350-414)
-instead of runtime descriptor reflection. Auto-naming, ntop/in_place
-handling, and kwarg routing match the reference semantics.
+instead of runtime descriptor reflection. Serialization and naming live in
+a single _ProtoEmitter object that walks the Top graph iteratively in
+post-order; Function/Top are inert value records. Observable semantics
+(auto-naming counters, ntop/in_place handling, kwarg routing) match the
+reference so emitted prototxt is interchangeable.
 """
 
 from __future__ import annotations
@@ -82,7 +85,8 @@ class Top:
 
 
 class Function:
-    """A layer: its type, parameters, and input Tops."""
+    """A layer: its type, parameters, and input Tops. Pure value record —
+    serialization and naming are the emitter's job."""
 
     def __init__(self, type_name: str, inputs, params: dict):
         self.type_name = type_name
@@ -92,54 +96,94 @@ class Function:
         self.in_place = bool(self.params.pop("in_place", False))
         self.tops = tuple(Top(self, n) for n in range(self.ntop))
 
-    def _get_name(self, names, autonames):
-        if self not in names and self.ntop > 0:
-            names[self] = self._get_top_name(self.tops[0], names, autonames)
-        elif self not in names:
-            autonames[self.type_name] += 1
-            names[self] = self.type_name + str(autonames[self.type_name])
-        return names[self]
 
-    def _get_top_name(self, top, names, autonames):
-        if top not in names:
-            autonames[top.fn.type_name] += 1
-            names[top] = top.fn.type_name + str(autonames[top.fn.type_name])
-        return names[top]
+class _ProtoEmitter:
+    """Turns a Top graph into ordered LayerParameter messages.
 
-    def _to_proto(self, layers, names, autonames) -> None:
-        if self in layers:
-            return
-        bottoms = []
-        for inp in self.inputs:
-            inp.fn._to_proto(layers, names, autonames)
-            bottoms.append(PB.as_list(layers[inp.fn]["top"])[inp.n])
-        layer: PB.Message = {"name": None, "type": self.type_name}
+    All naming state is centralized here: `assigned` carries user-given
+    names (Top or ntop=0 Function -> name); anything else is minted a
+    "<Type><k>" name from a per-type counter that lives for the emitter's
+    lifetime. Layers are emitted in dependency (post-) order via an
+    explicit work stack.
+    """
+
+    def __init__(self):
+        self.assigned: dict = {}
+        self.counters: Counter = Counter()
+        self.messages: "OrderedDict[Function, PB.Message]" = OrderedDict()
+
+    def _mint(self, type_name: str) -> str:
+        self.counters[type_name] += 1
+        return type_name + str(self.counters[type_name])
+
+    def _blob_name(self, top: "Top") -> str:
+        if top not in self.assigned:
+            self.assigned[top] = self._mint(top.fn.type_name)
+        return self.assigned[top]
+
+    def _layer_name(self, fn: "Function") -> str:
+        if fn not in self.assigned:
+            # a layer is known by its first output; sinks (ntop=0) get
+            # their own minted name
+            self.assigned[fn] = (self._blob_name(fn.tops[0]) if fn.ntop
+                                 else self._mint(fn.type_name))
+        return self.assigned[fn]
+
+    def add(self, fn: "Function") -> None:
+        stack = [fn]
+        while stack:
+            cur = stack[-1]
+            if cur in self.messages:
+                stack.pop()
+                continue
+            unbuilt = [inp.fn for inp in cur.inputs
+                       if inp.fn not in self.messages]
+            if unbuilt:
+                # first input ends up on top of the stack -> built first
+                stack.extend(reversed(unbuilt))
+                continue
+            self.messages[cur] = self._build_message(cur)
+            stack.pop()
+
+    def _build_message(self, fn: "Function") -> PB.Message:
+        bottoms = [PB.as_list(self.messages[inp.fn]["top"])[inp.n]
+                   for inp in fn.inputs]
+        # tops are named even when in_place overrides the field, so the
+        # counters advance identically either way
+        top_names = [self._blob_name(t) for t in fn.tops]
+        msg: PB.Message = {"name": self._layer_name(fn),
+                           "type": fn.type_name}
         if bottoms:
-            layer["bottom"] = bottoms
-        if self.in_place:
-            layer["top"] = list(bottoms)
-        elif self.ntop:
-            layer["top"] = [self._get_top_name(t, names, autonames)
-                            for t in self.tops]
-        layer["name"] = self._get_name(names, autonames)
+            msg["bottom"] = bottoms
+        if fn.in_place:
+            msg["top"] = list(bottoms)
+        elif fn.ntop:
+            msg["top"] = top_names
+        self._route_params(fn, msg)
+        return msg
 
-        param_field = PARAM_NAMES.get(self.type_name)
-        for k, v in self.params.items():
-            if k in _LAYER_FIELDS or k.endswith("_param") \
-                    or param_field is None:
-                layer[k] = v
+    @staticmethod
+    def _route_params(fn: "Function", msg: PB.Message) -> None:
+        """Sort loose kwargs into <type>_param; LayerParameter-level
+        fields and explicit *_param messages stay at the top level."""
+        type_param = PARAM_NAMES.get(fn.type_name)
+        for key, value in fn.params.items():
+            if (type_param is None or key in _LAYER_FIELDS
+                    or key.endswith("_param")):
+                msg[key] = value
             else:
-                layer.setdefault(param_field + "_param", {})[k] = v
-        layers[self] = layer
+                msg.setdefault(type_param + "_param", {})[key] = value
+
+    def result(self) -> PB.Message:
+        return {"layer": list(self.messages.values())}
 
 
 def to_proto(*tops) -> PB.Message:
     """NetParameter message computing the given Tops (auto-named blobs)."""
-    layers: "OrderedDict[Function, PB.Message]" = OrderedDict()
-    autonames: Counter = Counter()
+    emitter = _ProtoEmitter()
     for top in tops:
-        top.fn._to_proto(layers, {}, autonames)
-    return {"layer": list(layers.values())}
+        emitter.add(top.fn)
+    return emitter.result()
 
 
 class NetSpec:
@@ -163,14 +207,12 @@ class NetSpec:
     __getitem__ = __getattr__
 
     def to_proto(self) -> PB.Message:
-        # Top (or ntop=0 Function) -> assigned name
-        names = {top: name for name, top in self.tops.items()}
-        autonames: Counter = Counter()
-        layers: "OrderedDict[Function, PB.Message]" = OrderedDict()
+        emitter = _ProtoEmitter()
+        # assignment names the blob (or the sink Function itself)
+        emitter.assigned = {top: name for name, top in self.tops.items()}
         for top in self.tops.values():
-            fn = top.fn if isinstance(top, Top) else top
-            fn._to_proto(layers, names, autonames)
-        return {"layer": list(layers.values())}
+            emitter.add(top.fn if isinstance(top, Top) else top)
+        return emitter.result()
 
     def to_prototxt(self, name: str = None) -> str:
         msg = self.to_proto()
