@@ -141,25 +141,19 @@ class _NetDriver:
         self.params = self.net.init(jax.random.key(seed))
         if weights:
             from mscnn_tpu.io import caffemodel as CM
-            raw = CM.parse_caffemodel(weights)
-            for lname, blobs in raw.items():
-                if lname not in self.params or not blobs:
-                    continue
-                p = self.params[lname]
-                w = blobs[0]
-                if w.ndim == 4:
-                    w = CM._conv_to_hwio(w)
-                elif w.ndim == 2:
-                    # NOTE: an FC fed directly by a conv/pool blob also
-                    # needs the NCHW->NHWC flatten permutation
-                    # (CM._fc_after_pool); pass such nets through
-                    # io.caffemodel.load_caffemodel_params instead.
-                    w = CM._fc_to_in_out(w)
-                if w.shape == p["w"].shape:
-                    p["w"] = jnp.asarray(w)
-                if len(blobs) > 1 and "b" in p \
-                        and blobs[1].shape == p["b"].shape:
-                    p["b"] = jnp.asarray(blobs[1])
+            # structural hints from the built graph: an FC fed by a 4-D
+            # blob (fc6-after-pool5 in the standard Classifier nets) needs
+            # the NCHW->NHWC flatten permutation, and deconv blobs use
+            # Caffe's reversed in/out orientation
+            hints = CM.net_layout_hints(self.net)
+            self.params, report = CM.load_caffemodel_params(
+                weights, self.params,
+                fc_after_pool=hints["fc_after_pool"],
+                deconv_names=hints["deconv_names"])
+            if report["mismatched"]:
+                raise ValueError(
+                    f"weight blobs in {weights!r} do not fit this net: "
+                    f"{report['mismatched']}")
 
         net_inputs = self.net.inputs()
         if not net_inputs:
@@ -224,8 +218,12 @@ class Classifier(_NetDriver):
 
 class Detector(_NetDriver):
     """Windowed detection driver (detector.py detect_windows): crop each
-    (x1, y1, x2, y2) window with context padding, warp to the net input,
-    classify all windows in one jitted batch."""
+    window with context padding, warp to the net input, classify all
+    windows in one jitted batch.
+
+    COORDINATE ORDER: windows here are (x1, y1, x2, y2) — x first.
+    pycaffe's detector.py takes (ymin, xmin, ymax, xmax); code ported from
+    it must swap the pairs or crops will be silently transposed."""
 
     def __init__(self, model_file: str, weights: Optional[str] = None,
                  context_pad: int = 0, **kw):

@@ -188,6 +188,67 @@ def cmd_test(args):
     return 0
 
 
+def _time_layers(args):
+    """Per-layer fwd/bwd wall times for a prototxt net — the `caffe time`
+    per-layer table (/root/reference/tools/caffe.cpp:369-419).  Each layer
+    runs as its own jitted subgraph on materialized bottom blobs, so
+    cross-layer XLA fusion is deliberately broken: the table localizes
+    cost, the whole-graph numbers above it measure the fused reality."""
+    from mscnn_tpu.config import prototxt as PB
+    from mscnn_tpu.models.netbuilder import Net
+
+    net = Net(args.model, phase="TRAIN")
+    params = net.init(jax.random.key(0))
+    inputs = {n: jnp.zeros(sh, jnp.float32)
+              for n, sh in net.inputs().items()}
+    blobs = net.apply(params, inputs)
+    iters = args.iterations or 10
+
+    def timed(fn, *fargs):
+        jax.block_until_ready(fn(*fargs))
+        t0 = _time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*fargs)
+        jax.block_until_ready(out)
+        return (_time.perf_counter() - t0) / iters * 1e3
+
+    print(f"{'layer':<24}{'type':<20}{'fwd ms':>10}{'bwd ms':>10}")
+    tot_f = tot_b = 0.0
+    for layer in net.layers:
+        ltype = str(layer.get("type"))
+        if ltype in ("Input", "Data", "ImageData", "MemoryData", "Silence"):
+            continue
+        name = str(layer.get("name"))
+        bots = [blobs[str(b)] for b in PB.as_list(layer.get("bottom"))]
+        lp = params.get(name, {})
+
+        def run(lp_, bb, layer=layer, name=name):
+            p2 = {**params, name: lp_} if name in params else params
+            return net.apply_layer(layer, p2, bb)[0]
+
+        def back_scalar(lp_, bb, layer=layer, name=name):
+            outs = run(lp_, bb, layer, name)
+            s = 0.0
+            for o in outs:
+                if hasattr(o, "dtype") and \
+                        jnp.issubdtype(o.dtype, jnp.floating):
+                    s = s + o.sum()
+            return s
+
+        fwd_ms = timed(jax.jit(run), lp, bots)
+        try:
+            bwd_ms = timed(
+                jax.jit(jax.grad(back_scalar, argnums=(0, 1))), lp, bots)
+        except Exception:
+            bwd_ms = float("nan")   # non-differentiable layer (ArgMax, ...)
+        tot_f += fwd_ms
+        tot_b += 0.0 if bwd_ms != bwd_ms else bwd_ms
+        print(f"{name:<24}{ltype:<20}{fwd_ms:>10.3f}{bwd_ms:>10.3f}")
+    print(f"{'TOTAL (unfused sum)':<44}{tot_f:>10.3f}{tot_b:>10.3f}")
+    return 0
+
+
 def cmd_time(args):
     """Per-stage wall times (the `caffe time` analog): data, forward,
     forward+backward+update."""
@@ -197,6 +258,12 @@ def cmd_time(args):
     from mscnn_tpu.train import solver as S
     from mscnn_tpu.config import zoo_import as Z
 
+    if getattr(args, "layers", False):
+        if not args.model:
+            print("--layers needs --model <prototxt> (per-layer timing "
+                  "runs on the generic net builder)")
+            return 1
+        return _time_layers(args)
     if args.model:
         cfg, tspec, _, _, _ = Z.model_from_prototxt(args.model)
     else:
@@ -374,6 +441,16 @@ def cmd_detect(args):
     t0 = _time.perf_counter()
     i = -1
     group = []   # (i, path, img) accumulator for the sharded-batch path
+
+    def flush_group():
+        # pad the tail to the static batch, drop the extras
+        imgs = [g[2] for g in group]
+        imgs += [imgs[-1]] * (n_dev - len(imgs))
+        dets = run_detect_batch(imgs)
+        for (gi, gpath, _), det in zip(group, dets):
+            write_one(gi, gpath, det)
+        group.clear()
+
     try:
         while pending:
             i += 1
@@ -388,16 +465,13 @@ def cmd_detect(args):
                 continue
             if n_dev > 1:
                 group.append((i, path, img))
-                if len(group) == n_dev or not pending:
-                    # pad the tail to the static batch, drop the extras
-                    imgs = [g[2] for g in group]
-                    imgs += [imgs[-1]] * (n_dev - len(imgs))
-                    dets = run_detect_batch(imgs)
-                    for (gi, gpath, _), det in zip(group, dets):
-                        write_one(gi, gpath, det)
-                    group = []
+                if len(group) == n_dev:
+                    flush_group()
             else:
                 write_one(i, path, run_detect(img))
+        # tail shorter than n_dev (or stranded by unreadable images)
+        if group:
+            flush_group()
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
     n = max(len(paths), 1)
@@ -697,6 +771,11 @@ def main(argv=None):
     p_time.add_argument("--stages", action="store_true",
                         help="per-stage device time + MFU table "
                              "(loop-slope protocol)")
+    p_time.add_argument("--layers", action="store_true",
+                        help="per-layer fwd/bwd table for a --model "
+                             "prototxt (caffe time parity; each layer is "
+                             "jitted in isolation, so the column sum "
+                             "exceeds the fused whole-graph time)")
     p_time.set_defaults(fn=cmd_time)
 
     p_det = sub.add_parser("detect", help="run detection over an image dir")

@@ -158,17 +158,35 @@ def _deconv_to_depthwise(w: np.ndarray) -> np.ndarray:
     raise ValueError(f"unexpected deconv kernel shape {w.shape}")
 
 
+def _deconv_dense_to_hwio(w: np.ndarray) -> np.ndarray:
+    """Dense (group=1) deconv: Caffe stores [in, out, kh, kw] (the deconv
+    weight's leading dim is the BOTTOM channel count, base_conv_layer.cpp
+    reverses in/out); our deconv2d wants forward-orientation HWIO."""
+    return np.transpose(w, (2, 3, 0, 1))
+
+
 def _fc_to_in_out(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
-def _fc_after_pool(w: np.ndarray, spatial: int, channels: int) -> np.ndarray:
-    """Re-order an [out, C*S*S] FC weight whose input was a flattened NCHW
-    activation into our NHWC flatten order [S*S*C, out]."""
+def _fap_hwc(geom) -> Tuple[int, int, int]:
+    """Normalize an fc_after_pool geometry entry: (s, c) legacy square form
+    or (h, w, c) -> (h, w, c)."""
+    if len(geom) == 2:
+        s, c = geom
+        return int(s), int(s), int(c)
+    h, w, c = geom
+    return int(h), int(w), int(c)
+
+
+def _fc_after_pool(w: np.ndarray, geom) -> np.ndarray:
+    """Re-order an [out, C*H*W] FC weight whose input was a flattened NCHW
+    activation into our NHWC flatten order [H*W*C, out]."""
+    h, ww, c = _fap_hwc(geom)
     out_dim = w.shape[0]
-    w = w.reshape(out_dim, channels, spatial, spatial)       # O, C, H, W
+    w = w.reshape(out_dim, c, h, ww)                         # O, C, H, W
     w = np.transpose(w, (2, 3, 1, 0))                        # H, W, C, O
-    return w.reshape(spatial * spatial * channels, out_dim)
+    return w.reshape(h * ww * c, out_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -234,14 +252,14 @@ def _fc_from_in_out(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
-def _fc_after_pool_inverse(w: np.ndarray, spatial: int,
-                           channels: int) -> np.ndarray:
-    """Inverse of _fc_after_pool: our NHWC-flatten [S*S*C, out] back to the
-    reference's NCHW-flatten [out, C*S*S]."""
+def _fc_after_pool_inverse(w: np.ndarray, geom) -> np.ndarray:
+    """Inverse of _fc_after_pool: our NHWC-flatten [H*W*C, out] back to the
+    reference's NCHW-flatten [out, C*H*W]."""
+    h, ww, c = _fap_hwc(geom)
     out_dim = w.shape[1]
-    w = w.reshape(spatial, spatial, channels, out_dim)        # H, W, C, O
+    w = w.reshape(h, ww, c, out_dim)                          # H, W, C, O
     w = np.transpose(w, (3, 2, 0, 1))                         # O, C, H, W
-    return w.reshape(out_dim, channels * spatial * spatial)
+    return w.reshape(out_dim, c * h * ww)
 
 
 def infer_fc_after_pool(params_like) -> dict:
@@ -251,7 +269,15 @@ def infer_fc_after_pool(params_like) -> dict:
     spatial = sqrt(fc_in / roi_c1_out) (models/mscnn.py roi_head flattens
     NHWC; the reference flattens NCHW, so these layers need the
     permutation on both import and export). Layers whose shapes do not
-    factor that way are left out."""
+    factor that way are left out.
+
+    SCOPE: this is a NAME heuristic that only recognizes the MS-CNN
+    layer-naming convention (fc6* fed by roi_c1*).  Any other net with an
+    FC after a spatial blob (e.g. fc6 after pool5 in VGG/CaffeNet) is NOT
+    detected — derive the dict structurally with net_layout_hints() from a
+    built netbuilder Net, or pass fc_after_pool explicitly; otherwise an
+    exported .caffemodel keeps that FC's rows in NHWC order, which the
+    reference reads with NCHW semantics (silently different outputs)."""
     out = {}
     for name, p in params_like.items():
         if not name.startswith("fc6") or "w" not in p:
@@ -267,6 +293,40 @@ def infer_fc_after_pool(params_like) -> dict:
     return out
 
 
+def net_layout_hints(net) -> dict:
+    """Structural layout hints for a built netbuilder Net (net.init() must
+    have run so net.shapes is populated):
+
+      fc_after_pool: {InnerProduct layer: (h, w, c)} for every FC whose
+        bottom blob is 4-D — those flatten NHWC here but NCHW in the
+        reference, so their weights need re-ordering on import/export.
+      deconv_names: frozenset of Deconvolution layer names, whose 4-D
+        blobs use Caffe's reversed in/out orientation.
+
+    Unlike infer_fc_after_pool (an MS-CNN name heuristic), this reads the
+    actual graph, so it covers nets like VGG/CaffeNet where fc6 consumes
+    pool5 directly."""
+    from mscnn_tpu.config import prototxt as PB
+
+    shapes = getattr(net, "shapes", None)
+    if not shapes:
+        raise ValueError("net has no inferred shapes; call net.init() "
+                         "before deriving layout hints")
+    fc, deconv = {}, set()
+    for layer in net.layers:
+        ltype = layer.get("type")
+        name = str(layer.get("name"))
+        if ltype == "Deconvolution":
+            deconv.add(name)
+        elif ltype == "InnerProduct":
+            bots = [str(b) for b in PB.as_list(layer.get("bottom"))]
+            sh = shapes.get(bots[0]) if bots else None
+            if sh is not None and len(sh) == 4:
+                n, h, w, c = sh
+                fc[name] = (int(h), int(w), int(c))
+    return {"fc_after_pool": fc, "deconv_names": frozenset(deconv)}
+
+
 def _export_weight(name: str, w: np.ndarray,
                    deconv_names, fc_after_pool) -> Tuple[str, np.ndarray]:
     """Map one of our weights to (caffe layer type, caffe-layout array)."""
@@ -276,8 +336,7 @@ def _export_weight(name: str, w: np.ndarray,
     if w.ndim == 4:
         return "Convolution", _conv_from_hwio(w)
     if w.ndim == 2 and name in fc_after_pool:
-        s, c = fc_after_pool[name]
-        return "InnerProduct", _fc_after_pool_inverse(w, s, c)
+        return "InnerProduct", _fc_after_pool_inverse(w, fc_after_pool[name])
     if w.ndim == 2:
         return "InnerProduct", _fc_from_in_out(w)
     raise ValueError(f"layer {name}: cannot export weight of rank {w.ndim}")
@@ -308,7 +367,13 @@ def save_caffemodel(params, path: str, *, net_name: str = "mscnn_tpu",
     fc_after_pool layers).  Emits current-format LayerParameter messages
     (field 100; name=1, type=2, blobs=7).  Returns the number of layers
     written.  Ref: net.cpp:856-866.
-    fc_after_pool defaults to the MS-CNN inference (fc6* after roi_c1*).
+
+    fc_after_pool defaults to infer_fc_after_pool, a NAME heuristic scoped
+    to MS-CNN layer names (fc6* fed by roi_c1*).  For any other net whose
+    FC consumes a spatial blob, pass fc_after_pool explicitly (values
+    (s, c) or (h, w, c)) or derive it with net_layout_hints(net) —
+    otherwise that FC's rows are exported in NHWC order and the reference
+    will read them with NCHW semantics, silently changing outputs.
     """
     if fc_after_pool is None:
         fc_after_pool = infer_fc_after_pool(params)
@@ -404,8 +469,7 @@ def load_solverstate_history(path: str, state_template,
             elif w.ndim == 4:
                 wt = _conv_to_hwio(w)
             elif w.ndim == 2 and name in fc_after_pool:
-                s, c = fc_after_pool[name]
-                wt = _fc_after_pool(w, s, c)
+                wt = _fc_after_pool(w, fc_after_pool[name])
             elif w.ndim == 2:
                 wt = _fc_to_in_out(w)
             else:
@@ -424,17 +488,23 @@ def load_solverstate_history(path: str, state_template,
 
 
 def load_caffemodel_params(path: str, params, cfg=None,
-                           fc_after_pool: Optional[dict] = None):
+                           fc_after_pool: Optional[dict] = None,
+                           deconv_names=("conv4_3_2x",)):
     """Map a .caffemodel's layers onto a params pytree by name.
 
     params: our pytree ({layer: {"w", "b"}}); layers present in both are
     overwritten (shapes validated after layout transposition), others kept —
     CopyTrainedLayersFrom semantics (net.cpp:750-786).
-    fc_after_pool: {layer_name: (spatial, channels)} for FC layers directly
-    consuming a flattened conv activation (e.g. {"fc6": (5, 512)} when fc6
-    follows the 3x3-VALID roi_c1 over a 7x7 pool). Defaults to the MS-CNN
-    inference (infer_fc_after_pool: fc6* after roi_c1*), so full MS-CNN
-    snapshots round-trip; pass {} explicitly to disable.
+    fc_after_pool: {layer_name: (spatial, channels) or (h, w, channels)}
+    for FC layers directly consuming a flattened conv activation (e.g.
+    {"fc6": (5, 512)} when fc6 follows the 3x3-VALID roi_c1 over a 7x7
+    pool). Defaults to the MS-CNN name inference (infer_fc_after_pool:
+    fc6* after roi_c1*), so full MS-CNN snapshots round-trip; for other
+    nets derive it structurally with net_layout_hints(), or pass {} to
+    disable.
+    deconv_names: layers whose 4-D blob uses Caffe's deconv orientation
+    (leading dim = bottom channels); depthwise [C,1,kh,kw] and dense
+    [in,out,kh,kw] are both handled.
     """
     import jax.numpy as jnp
 
@@ -454,13 +524,13 @@ def load_caffemodel_params(path: str, params, cfg=None,
         try:
             if "w" in p:
                 target = np.asarray(p["w"])
-                if w.ndim == 4 and name == "conv4_3_2x":
-                    wt = _deconv_to_depthwise(w)
+                if w.ndim == 4 and name in deconv_names:
+                    wt = _deconv_to_depthwise(w) if w.shape[1] == 1 \
+                        else _deconv_dense_to_hwio(w)
                 elif w.ndim == 4:
                     wt = _conv_to_hwio(w)
                 elif w.ndim == 2 and name in fc_after_pool:
-                    s, c = fc_after_pool[name]
-                    wt = _fc_after_pool(w, s, c)
+                    wt = _fc_after_pool(w, fc_after_pool[name])
                 elif w.ndim == 2:
                     wt = _fc_to_in_out(w)
                 else:

@@ -77,8 +77,18 @@ def _resolve_reshape(dims, in_shape_nhwc):
     known = 1
     for d in out:
         known *= d
+    # mirror Caffe's reshape CHECKs: an inconsistent ReshapeParameter must
+    # fail here, not produce a silently-truncated shape downstream
     if infer is not None:
+        if known == 0 or total % known != 0:
+            raise ValueError(
+                f"Reshape dims {list(dims)} do not evenly divide the "
+                f"{total}-element input shape {tuple(in_shape_nhwc)}")
         out[infer] = total // known
+    elif known != total:
+        raise ValueError(
+            f"Reshape dims {list(dims)} describe {known} elements but the "
+            f"input shape {tuple(in_shape_nhwc)} has {total}")
     if len(out) == 4:
         n, c, h, w = out
         return [n, h, w, c]
@@ -114,6 +124,57 @@ def _filler(fp, key, shape, fan_in):
     raise ValueError(f"unsupported filler {ftype!r}")
 
 
+# -- PythonLayer support ------------------------------------------------------
+# {(module, layer): class} registry for `type: "Python"` prototxt layers.
+PYTHON_LAYERS: Dict[tuple, type] = {}
+
+
+def register_python_layer(module: str, layer: str):
+    """Register a user layer class for `type: "Python"` prototxt layers —
+    the pycaffe PythonLayer hook
+    (/root/reference/include/caffe/layers/python_layer.hpp:1-54).
+
+    The class is instantiated once per net layer as cls(param_str) and must
+    implement:
+
+      setup(bottom_shapes) -> top shape tuple, or list of them (one per top)
+      forward(*bottoms)    -> top array, or tuple of arrays
+
+    Optionally `init_params(key) -> dict` for learnable state, passed back
+    as the first forward argument: forward(params, *bottoms).  Backward is
+    autodiff of forward (the TPU-native equivalent of PythonLayer's
+    Backward).  (module, layer) pairs not in the registry fall back to
+    importing `module` and looking up `layer`, matching pycaffe semantics.
+
+    Usage:
+        @register_python_layer("my_layers", "Doubler")
+        class Doubler:
+            def __init__(self, param_str=""): ...
+            def setup(self, bottom_shapes): return bottom_shapes[0]
+            def forward(self, x): return 2.0 * x
+    """
+    def deco(cls):
+        PYTHON_LAYERS[(module, layer)] = cls
+        return cls
+    return deco
+
+
+def _resolve_python_layer(layer_msg) -> object:
+    pp = layer_msg.get("python_param", {})
+    module = str(pp.get("module", ""))
+    lname = str(pp.get("layer", ""))
+    cls = PYTHON_LAYERS.get((module, lname))
+    if cls is None:
+        import importlib
+        try:
+            cls = getattr(importlib.import_module(module), lname)
+        except (ImportError, AttributeError) as e:
+            raise ValueError(
+                f"Python layer {module}.{lname} is neither registered via "
+                f"register_python_layer nor importable") from e
+    return cls(str(pp.get("param_str", "")))
+
+
 class Net:
     """Executable net from a NetParameter (text prototxt)."""
 
@@ -134,6 +195,8 @@ class Net:
         # (legacy top-level input/input_dim is normalized into an Input
         # layer by upgrade_input, so only Input layers remain here)
         self.input_shapes = dict(input_shapes or {})
+        # name -> user PythonLayer instance (populated by init())
+        self._python_layers: Dict[str, object] = {}
 
     def inputs(self) -> Dict[str, tuple]:
         """Input blob name -> NHWC shape (explicit input_shapes override
@@ -296,6 +359,18 @@ class Net:
                 ph = int(layer.get("spp_param", {}).get("pyramid_height", 3))
                 d = in_shape[-1] * sum(4 ** l for l in range(ph))
                 shapes[tops[0]] = (in_shape[0], d)
+            elif ltype == "Python":
+                inst = _resolve_python_layer(layer)
+                self._python_layers[name] = inst
+                top_shapes = inst.setup([shapes[b] for b in bots])
+                if top_shapes is not None:
+                    if top_shapes and not isinstance(
+                            top_shapes[0], (list, tuple)):
+                        top_shapes = [top_shapes]
+                    for t, sh in zip(tops, top_shapes):
+                        shapes[t] = tuple(sh)
+                if hasattr(inst, "init_params"):
+                    params[name] = inst.init_params(next(keys))
             else:
                 # shape-preserving ops (activations, LRN, Dropout, Eltwise,
                 # BatchNorm/PReLU/Bias/Scale with learned params below,
@@ -340,184 +415,211 @@ class Net:
 
         for layer in self.layers:
             ltype = str(layer.get("type"))
-            name = str(layer.get("name"))
-            bots = [blobs[str(b)] for b in PB.as_list(layer.get("bottom"))]
-            tops = [str(t) for t in PB.as_list(layer.get("top"))]
-
             if ltype in ("Input", "Data", "ImageData", "MemoryData"):
                 continue
-            if ltype == "Convolution":
-                cp = layer.get("convolution_param", {})
-                p = params[name]
-                out = C.conv2d(bots[0], p["w"], p.get("b"),
-                               stride=int(cp.get("stride", 1)),
-                               padding=int(cp.get("pad", 0)))
-            elif ltype == "Deconvolution":
-                cp = layer.get("convolution_param", {})
-                p = params[name]
-                out = C.deconv2d(bots[0], p["w"], p.get("b"),
-                                 stride=int(cp.get("stride", 1)),
-                                 pad=int(cp.get("pad", 0)),
-                                 groups=int(cp.get("group", 1)))
-            elif ltype == "InnerProduct":
-                p = params[name]
-                x = bots[0].reshape(bots[0].shape[0], -1)
-                out = C.dense(x, p["w"], p.get("b"))
-            elif ltype == "Pooling":
-                pp = layer.get("pooling_param", {})
-                mode = str(pp.get("pool", "MAX")).upper()
-                fn = C.max_pool if mode == "MAX" else C.avg_pool
-                if pp.get("global_pooling", False):
-                    out = bots[0].max(axis=(1, 2), keepdims=True) \
-                        if mode == "MAX" else \
-                        bots[0].mean(axis=(1, 2), keepdims=True)
-                else:
-                    k = int(pp.get("kernel_size", 2))
-                    out = fn(bots[0], k, int(pp.get("stride", k)),
-                             int(pp.get("pad", 0)))
-            elif ltype in ACTIVATIONS:
-                out = ACTIVATIONS[ltype](bots[0], layer)
-            elif ltype == "LRN":
-                lp = layer.get("lrn_param", {})
-                out = LY.lrn(bots[0], int(lp.get("local_size", 5)),
-                             float(lp.get("alpha", 1.0)),
-                             float(lp.get("beta", 0.75)),
-                             float(lp.get("k", 1.0)))
-            elif ltype == "Dropout":
-                ratio = float(layer.get("dropout_param", {})
-                              .get("dropout_ratio", 0.5))
-                out = C.dropout(bots[0], ratio,
-                                next(k_iter) if k_iter else None, train)
-            elif ltype == "Concat":
-                ax = _axis(int(layer.get("concat_param", {}).get("axis", 1)))
-                out = LY.concat(bots, axis=ax)
-            elif ltype == "Eltwise":
-                ep = layer.get("eltwise_param", {})
-                op = str(ep.get("operation", "SUM")).lower()
-                coeffs = [float(c) for c in PB.as_list(ep.get("coeff"))] or None
-                out = LY.eltwise(bots, op, coeffs)
-            elif ltype == "Flatten":
-                out = LY.flatten(bots[0])
-            elif ltype == "Scale":
-                p = params[name]
-                out = LY.scale(bots[0], p["w"], p.get("b"))
-            elif ltype == "PReLU":
-                pp = layer.get("prelu_param", {})
-                out = LY.prelu(bots[0], params[name]["slope"],
-                               bool(pp.get("channel_shared", False)))
-            elif ltype == "BatchNorm":
-                bp = layer.get("batch_norm_param", {})
-                use_global = bool(bp.get("use_global_stats", not train))
-                p = params[name]
-                # batch-stats mode is a pure fn here: the running-average
-                # update is the train loop's job (the reference's
-                # moving_average_fraction handling)
-                out, _, _ = LY.batch_norm(
-                    bots[0], p["mean"], p["var"],
-                    eps=float(bp.get("eps", 1e-5)),
-                    use_global_stats=use_global)
-            elif ltype == "Bias":
-                b = params[name]["b"] if len(bots) == 1 else bots[1]
-                out = LY.bias(bots[0], b)
-            elif ltype == "MVN":
-                mp = layer.get("mvn_param", {})
-                out = LY.mvn(bots[0],
-                             bool(mp.get("normalize_variance", True)),
-                             bool(mp.get("across_channels", False)),
-                             float(mp.get("eps", 1e-9)))
-            elif ltype == "Slice":
-                sp = layer.get("slice_param", {})
-                ax = _axis(int(sp.get("axis", sp.get("slice_dim", 1))))
-                pts = [int(p) for p in PB.as_list(sp.get("slice_point"))]
-                if not pts:
-                    step = bots[0].shape[ax] // len(tops)
-                    pts = [step * (i + 1) for i in range(len(tops) - 1)]
-                pieces = LY.slice_(bots[0], pts, axis=ax)
-                for t, piece in zip(tops, pieces):
-                    blobs[t] = piece
-                continue
-            elif ltype == "Reshape":
-                dims = [int(d) for d in PB.as_list(
-                    layer["reshape_param"]["shape"]["dim"])]
-                out_shape = _resolve_reshape(dims, bots[0].shape)
-                x = bots[0]
-                if x.ndim == 4:          # reshape in NCHW convention
-                    x = jnp.transpose(x, (0, 3, 1, 2))
-                flat = LY.reshape(x, _to_nchw(out_shape))
-                out = jnp.transpose(flat, (0, 2, 3, 1)) \
-                    if len(out_shape) == 4 else flat
-            elif ltype == "ArgMax":
-                ap = layer.get("argmax_param", {})
-                flat = bots[0].reshape(bots[0].shape[0], -1)
-                if bool(ap.get("out_max_val", False)):
-                    idx, vals = LY.argmax(flat, int(ap.get("top_k", 1)),
-                                          out_max_val=True)
-                    out = jnp.stack([idx.astype(vals.dtype), vals], 1)
-                else:
-                    out = LY.argmax(flat, int(ap.get("top_k", 1)))
-            elif ltype == "Tile":
-                tp = layer.get("tile_param", {})
-                out = LY.tile(bots[0], int(tp.get("tiles", 1)),
-                              _axis(int(tp.get("axis", 1))))
-            elif ltype == "Crop":
-                cp = layer.get("crop_param", {})
-                ax = int(cp.get("axis", 2))
-                offs = [int(o) for o in PB.as_list(cp.get("offset"))] or [0]
-                x, ref = bots[0], bots[1]
-                for i, caffe_ax in enumerate(range(ax, 4)):
-                    a = _axis(caffe_ax)
-                    off = offs[i] if i < len(offs) else offs[-1]
-                    x = jax.lax.slice_in_dim(x, off,
-                                             off + ref.shape[a], axis=a)
-                out = x
-            elif ltype == "Reduction":
-                rp = layer.get("reduction_param", {})
-                out = LY.reduction(bots[0],
-                                   str(rp.get("operation", "SUM")).lower(),
-                                   int(rp.get("axis", 0)),
-                                   float(rp.get("coeff", 1.0)))
-            elif ltype == "SPP":
-                pp = layer.get("spp_param", {})
-                out = LY.spp(bots[0],
-                             int(pp.get("pyramid_height", 3)),
-                             str(pp.get("pool", "MAX")).lower())
-            elif ltype == "HingeLoss":
-                hp = layer.get("hinge_loss_param", {})
-                out = LY.hinge_loss(bots[0], bots[1].astype(jnp.int32),
-                                    str(hp.get("norm", "L1")))
-                loss = loss + float(layer.get("loss_weight", 1.0)) * out
-            elif ltype == "SigmoidCrossEntropyLoss":
-                out = LY.sigmoid_cross_entropy_loss(bots[0], bots[1])
-                loss = loss + float(layer.get("loss_weight", 1.0)) * out
-            elif ltype == "MultinomialLogisticLoss":
-                out = LY.multinomial_logistic_loss(
-                    bots[0], bots[1].astype(jnp.int32))
-                loss = loss + float(layer.get("loss_weight", 1.0)) * out
-            elif ltype == "Split":
-                for t in tops:
-                    blobs[t] = bots[0]
-                continue
-            elif ltype == "Softmax":
-                out = jax.nn.softmax(bots[0], axis=-1)
-            elif ltype == "SoftmaxWithLoss":
-                logits, labels = bots[0], bots[1].astype(jnp.int32)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                picked = jnp.take_along_axis(logp, labels[:, None], -1)[:, 0]
-                out = -picked.mean()
-                loss = loss + float(layer.get("loss_weight", 1.0)) * out
-            elif ltype == "EuclideanLoss":
-                out = LY.euclidean_loss(bots[0], bots[1])
-                loss = loss + float(layer.get("loss_weight", 1.0)) * out
-            elif ltype == "Accuracy":
-                out = LY.accuracy(bots[0], bots[1].astype(jnp.int32))
-            elif ltype == "Silence":
-                continue
-            else:
-                raise NotImplementedError(
-                    f"layer type {ltype!r} (layer {name!r}) is not supported "
-                    f"by the generic net builder")
-            if tops:
-                blobs[tops[0]] = out
+            bots = [blobs[str(b)] for b in PB.as_list(layer.get("bottom"))]
+            tops = [str(t) for t in PB.as_list(layer.get("top"))]
+            dk = next(k_iter) if (k_iter is not None and ltype == "Dropout") \
+                else None
+            outs, dloss = self.apply_layer(layer, params, bots, train=train,
+                                           dropout_key=dk)
+            loss = loss + dloss
+            for t, o in zip(tops, outs):
+                blobs[t] = o
 
         blobs["loss"] = loss
         return blobs
+
+    def apply_layer(self, layer, params: dict, bots, train: bool = False,
+                    dropout_key=None):
+        """Run ONE layer on materialized bottom blobs.
+
+        Returns (top_values, loss_delta); top_values align with the
+        layer's `top` field (extra declared tops of single-output layers
+        are left unwritten, matching apply()'s historical behavior).
+        This is the unit the per-layer profiler (`mscnn time --layers`)
+        jits and times in isolation, the analog of caffe time's per-layer
+        loop (tools/caffe.cpp:369-419)."""
+        ltype = str(layer.get("type"))
+        name = str(layer.get("name"))
+        tops = [str(t) for t in PB.as_list(layer.get("top"))]
+        loss = 0.0
+
+        if ltype in ("Input", "Data", "ImageData", "MemoryData", "Silence"):
+            return [], 0.0
+        if ltype == "Convolution":
+            cp = layer.get("convolution_param", {})
+            p = params[name]
+            out = C.conv2d(bots[0], p["w"], p.get("b"),
+                           stride=int(cp.get("stride", 1)),
+                           padding=int(cp.get("pad", 0)))
+        elif ltype == "Deconvolution":
+            cp = layer.get("convolution_param", {})
+            p = params[name]
+            out = C.deconv2d(bots[0], p["w"], p.get("b"),
+                             stride=int(cp.get("stride", 1)),
+                             pad=int(cp.get("pad", 0)),
+                             groups=int(cp.get("group", 1)))
+        elif ltype == "InnerProduct":
+            p = params[name]
+            x = bots[0].reshape(bots[0].shape[0], -1)
+            out = C.dense(x, p["w"], p.get("b"))
+        elif ltype == "Pooling":
+            pp = layer.get("pooling_param", {})
+            mode = str(pp.get("pool", "MAX")).upper()
+            fn = C.max_pool if mode == "MAX" else C.avg_pool
+            if pp.get("global_pooling", False):
+                out = bots[0].max(axis=(1, 2), keepdims=True) \
+                    if mode == "MAX" else \
+                    bots[0].mean(axis=(1, 2), keepdims=True)
+            else:
+                k = int(pp.get("kernel_size", 2))
+                out = fn(bots[0], k, int(pp.get("stride", k)),
+                         int(pp.get("pad", 0)))
+        elif ltype in ACTIVATIONS:
+            out = ACTIVATIONS[ltype](bots[0], layer)
+        elif ltype == "LRN":
+            lp = layer.get("lrn_param", {})
+            out = LY.lrn(bots[0], int(lp.get("local_size", 5)),
+                         float(lp.get("alpha", 1.0)),
+                         float(lp.get("beta", 0.75)),
+                         float(lp.get("k", 1.0)))
+        elif ltype == "Dropout":
+            ratio = float(layer.get("dropout_param", {})
+                          .get("dropout_ratio", 0.5))
+            out = C.dropout(bots[0], ratio, dropout_key, train)
+        elif ltype == "Concat":
+            ax = _axis(int(layer.get("concat_param", {}).get("axis", 1)))
+            out = LY.concat(bots, axis=ax)
+        elif ltype == "Eltwise":
+            ep = layer.get("eltwise_param", {})
+            op = str(ep.get("operation", "SUM")).lower()
+            coeffs = [float(c) for c in PB.as_list(ep.get("coeff"))] or None
+            out = LY.eltwise(bots, op, coeffs)
+        elif ltype == "Flatten":
+            out = LY.flatten(bots[0])
+        elif ltype == "Scale":
+            p = params[name]
+            out = LY.scale(bots[0], p["w"], p.get("b"))
+        elif ltype == "PReLU":
+            pp = layer.get("prelu_param", {})
+            out = LY.prelu(bots[0], params[name]["slope"],
+                           bool(pp.get("channel_shared", False)))
+        elif ltype == "BatchNorm":
+            bp = layer.get("batch_norm_param", {})
+            use_global = bool(bp.get("use_global_stats", not train))
+            p = params[name]
+            # batch-stats mode is a pure fn here: the running-average
+            # update is the train loop's job (the reference's
+            # moving_average_fraction handling)
+            out, _, _ = LY.batch_norm(
+                bots[0], p["mean"], p["var"],
+                eps=float(bp.get("eps", 1e-5)),
+                use_global_stats=use_global)
+        elif ltype == "Bias":
+            b = params[name]["b"] if len(bots) == 1 else bots[1]
+            out = LY.bias(bots[0], b)
+        elif ltype == "MVN":
+            mp = layer.get("mvn_param", {})
+            out = LY.mvn(bots[0],
+                         bool(mp.get("normalize_variance", True)),
+                         bool(mp.get("across_channels", False)),
+                         float(mp.get("eps", 1e-9)))
+        elif ltype == "Slice":
+            sp = layer.get("slice_param", {})
+            ax = _axis(int(sp.get("axis", sp.get("slice_dim", 1))))
+            pts = [int(p) for p in PB.as_list(sp.get("slice_point"))]
+            if not pts:
+                step = bots[0].shape[ax] // len(tops)
+                pts = [step * (i + 1) for i in range(len(tops) - 1)]
+            return list(LY.slice_(bots[0], pts, axis=ax)), 0.0
+        elif ltype == "Reshape":
+            dims = [int(d) for d in PB.as_list(
+                layer["reshape_param"]["shape"]["dim"])]
+            out_shape = _resolve_reshape(dims, bots[0].shape)
+            x = bots[0]
+            if x.ndim == 4:          # reshape in NCHW convention
+                x = jnp.transpose(x, (0, 3, 1, 2))
+            flat = LY.reshape(x, _to_nchw(out_shape))
+            out = jnp.transpose(flat, (0, 2, 3, 1)) \
+                if len(out_shape) == 4 else flat
+        elif ltype == "ArgMax":
+            ap = layer.get("argmax_param", {})
+            flat = bots[0].reshape(bots[0].shape[0], -1)
+            if bool(ap.get("out_max_val", False)):
+                idx, vals = LY.argmax(flat, int(ap.get("top_k", 1)),
+                                      out_max_val=True)
+                out = jnp.stack([idx.astype(vals.dtype), vals], 1)
+            else:
+                out = LY.argmax(flat, int(ap.get("top_k", 1)))
+        elif ltype == "Tile":
+            tp = layer.get("tile_param", {})
+            out = LY.tile(bots[0], int(tp.get("tiles", 1)),
+                          _axis(int(tp.get("axis", 1))))
+        elif ltype == "Crop":
+            cp = layer.get("crop_param", {})
+            ax = int(cp.get("axis", 2))
+            offs = [int(o) for o in PB.as_list(cp.get("offset"))] or [0]
+            x, ref = bots[0], bots[1]
+            for i, caffe_ax in enumerate(range(ax, 4)):
+                a = _axis(caffe_ax)
+                off = offs[i] if i < len(offs) else offs[-1]
+                x = jax.lax.slice_in_dim(x, off,
+                                         off + ref.shape[a], axis=a)
+            out = x
+        elif ltype == "Reduction":
+            rp = layer.get("reduction_param", {})
+            out = LY.reduction(bots[0],
+                               str(rp.get("operation", "SUM")).lower(),
+                               int(rp.get("axis", 0)),
+                               float(rp.get("coeff", 1.0)))
+        elif ltype == "SPP":
+            pp = layer.get("spp_param", {})
+            out = LY.spp(bots[0],
+                         int(pp.get("pyramid_height", 3)),
+                         str(pp.get("pool", "MAX")).lower())
+        elif ltype == "HingeLoss":
+            hp = layer.get("hinge_loss_param", {})
+            out = LY.hinge_loss(bots[0], bots[1].astype(jnp.int32),
+                                str(hp.get("norm", "L1")))
+            loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype == "SigmoidCrossEntropyLoss":
+            out = LY.sigmoid_cross_entropy_loss(bots[0], bots[1])
+            loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype == "MultinomialLogisticLoss":
+            out = LY.multinomial_logistic_loss(
+                bots[0], bots[1].astype(jnp.int32))
+            loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype == "Split":
+            return [bots[0]] * len(tops), 0.0
+        elif ltype == "Softmax":
+            out = jax.nn.softmax(bots[0], axis=-1)
+        elif ltype == "SoftmaxWithLoss":
+            logits, labels = bots[0], bots[1].astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            picked = jnp.take_along_axis(logp, labels[:, None], -1)[:, 0]
+            out = -picked.mean()
+            loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype == "EuclideanLoss":
+            out = LY.euclidean_loss(bots[0], bots[1])
+            loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype == "Accuracy":
+            out = LY.accuracy(bots[0], bots[1].astype(jnp.int32))
+        elif ltype == "Python":
+            inst = self._python_layers.get(name)
+            if inst is None:
+                inst = _resolve_python_layer(layer)
+                self._python_layers[name] = inst
+            args = ([params[name]] if name in params else []) + bots
+            out = inst.forward(*args)
+            if isinstance(out, (list, tuple)):
+                lw = float(layer.get("loss_weight", 0.0))
+                return list(out), lw * out[0] if lw else 0.0
+            lw = float(layer.get("loss_weight", 0.0))
+            if lw:
+                loss = loss + lw * out
+        else:
+            raise NotImplementedError(
+                f"layer type {ltype!r} (layer {name!r}) is not supported "
+                f"by the generic net builder")
+        return [out], loss

@@ -12,6 +12,8 @@ module is the reference jnp implementation and the fallback.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,12 +46,34 @@ def nms_keep_mask(sorted_boxes, sorted_valid, *, iou_thr: float, mode: str = "io
     return jax.lax.fori_loop(0, n, body, sorted_valid)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu" or \
-            jax.devices()[0].platform.startswith(("tpu", "axon"))
-    except Exception:
-        return False
+_PALLAS_PROBE: dict = {}   # {} = not probed yet; {"ok": bool} afterwards
+
+
+def _pallas_supported() -> bool:
+    """Capability probe: can the default backend compile + run the Pallas
+    NMS kernel?  Tried once per process on a tiny instance and cached, so
+    `use_pallas=None` auto-selection works on any Mosaic-capable backend
+    without naming platforms (and cleanly falls back to the jnp scan
+    elsewhere, e.g. the CPU test mesh, where the compile raises)."""
+    if "ok" not in _PALLAS_PROBE:
+        try:
+            from mscnn_tpu.ops.pallas import nms_kernel
+            # AOT lower+compile on abstract shapes: raises on backends
+            # without Mosaic ("Only interpret mode is supported on CPU"),
+            # runs nothing on capable ones, and is immune to any ambient
+            # trace the caller may be inside (the probe usually fires
+            # while a jitted model is being traced).
+            jax.jit(functools.partial(
+                nms_kernel.nms_pallas, iou_thr=0.5, mode="iou", max_out=16,
+            )).lower(
+                jax.ShapeDtypeStruct((256, 4), jnp.float32),
+                jax.ShapeDtypeStruct((256,), jnp.float32),
+                jax.ShapeDtypeStruct((256,), jnp.bool_),
+            ).compile()
+            _PALLAS_PROBE["ok"] = True
+        except Exception:
+            _PALLAS_PROBE["ok"] = False
+    return _PALLAS_PROBE["ok"]
 
 
 def nms_xywh(
@@ -83,7 +107,7 @@ def nms_xywh(
     implementation and the CPU/GPU fallback.
     """
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        use_pallas = _pallas_supported()
     if use_pallas:
         from mscnn_tpu.ops.pallas import nms_kernel
         return nms_kernel.nms_pallas(

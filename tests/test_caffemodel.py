@@ -131,8 +131,22 @@ def test_fc_after_pool_reorder(rng):
     ref = w @ act.reshape(-1)
 
     act_nhwc = np.transpose(act, (0, 2, 3, 1)).reshape(-1)
-    w_reordered = CM._fc_after_pool(w, s, c)
+    w_reordered = CM._fc_after_pool(w, (s, c))
     np.testing.assert_allclose(act_nhwc @ w_reordered, ref, atol=1e-4)
+
+
+def test_fc_after_pool_rectangular(rng):
+    """(h, w, c) geometry entries handle non-square spatial blobs."""
+    c, h, wd, out_dim = 3, 2, 5, 6
+    act = rng.randn(1, c, h, wd).astype(np.float32)
+    w = rng.randn(out_dim, c * h * wd).astype(np.float32)
+    ref = w @ act.reshape(-1)
+
+    act_nhwc = np.transpose(act, (0, 2, 3, 1)).reshape(-1)
+    w_reordered = CM._fc_after_pool(w, (h, wd, c))
+    np.testing.assert_allclose(act_nhwc @ w_reordered, ref, atol=1e-4)
+    back = CM._fc_after_pool_inverse(w_reordered, (h, wd, c))
+    np.testing.assert_array_equal(back, w)
 
 
 def test_load_caffemodel_params(tmp_path, rng):
@@ -175,7 +189,7 @@ def _assert_params_equal(a, b):
 def test_fc_after_pool_inverse(rng):
     s, c, out_dim = 5, 8, 6
     w = rng.randn(s * s * c, out_dim).astype(np.float32)
-    back = CM._fc_after_pool(CM._fc_after_pool_inverse(w, s, c), s, c)
+    back = CM._fc_after_pool(CM._fc_after_pool_inverse(w, (s, c)), (s, c))
     np.testing.assert_array_equal(back, w)
 
 

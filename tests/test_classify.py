@@ -100,7 +100,11 @@ def test_classifier_loads_caffemodel_weights(tmp_path):
     net = Net(str(proto), phase="TEST")
     params = net.init(jax.random.key(7))
     path = str(tmp_path / "w.caffemodel")
-    CM.save_caffemodel({k: dict(v) for k, v in params.items()}, path)
+    # export in true reference layout: the FC after the spatial blob gets
+    # the NHWC->NCHW flatten inverse, so the file is what caffe would write
+    hints = CM.net_layout_hints(net)
+    CM.save_caffemodel({k: dict(v) for k, v in params.items()}, path,
+                       fc_after_pool=hints["fc_after_pool"])
 
     clf = CL.Classifier(str(proto), weights=path, image_dims=(16, 16))
     for lname in ("conv1", "ip"):

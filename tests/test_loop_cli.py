@@ -307,3 +307,35 @@ def test_apply_conv1_resolution():
     assert on.pallas_conv1
     s2d = cli._apply_conv1(cfg, argparse.Namespace(conv1="s2d"))
     assert s2d.s2d_conv1 and not s2d.pallas_conv1
+
+
+def test_cli_time_layers(tmp_path, capsys):
+    """`mscnn time --layers`: per-layer fwd/bwd table (caffe time parity)
+    for a generic prototxt net."""
+    net = tmp_path / "lenet.prototxt"
+    net.write_text("""
+name: "tiny_lenet"
+layer { name: "data" type: "Input" top: "data"
+        input_param { shape { dim: 2 dim: 1 dim: 12 dim: 12 } } }
+layer { name: "label" type: "Input" top: "label"
+        input_param { shape { dim: 2 } } }
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+        convolution_param { num_output: 4 kernel_size: 3 pad: 1
+                            weight_filler { type: "xavier" } } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "pool1" type: "Pooling" bottom: "conv1" top: "pool1"
+        pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layer { name: "ip1" type: "InnerProduct" bottom: "pool1" top: "ip1"
+        inner_product_param { num_output: 3
+                              weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip1" bottom: "label"
+        top: "loss" }
+""")
+    from mscnn_tpu import cli
+    rc = cli.main(["time", "--layers", "--model", str(net),
+                   "--iterations", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    for token in ("fwd ms", "bwd ms", "conv1", "pool1", "ip1", "loss",
+                  "TOTAL"):
+        assert token in out, out

@@ -198,3 +198,73 @@ def test_argmax_out_max_val_shape():
     net, params, blobs = run(n, x)
     assert blobs["am"].shape == (2, 2, 3)
     assert net.shapes["am"] == (2, 2, 3)
+
+
+def test_python_layer_registered_and_trains():
+    """PythonLayer hook (python_layer.hpp:1-54): a registered user layer
+    runs inside a prototxt net, its output shape propagates, and training
+    backprops through it via autodiff."""
+    from mscnn_tpu.models import netbuilder as NB
+
+    @NB.register_python_layer("test_py_mod", "ScaledTanh")
+    class ScaledTanh:
+        def __init__(self, param_str=""):
+            self.scale = float(param_str or 1.0)
+
+        def setup(self, bottom_shapes):
+            return bottom_shapes[0]
+
+        def forward(self, x):
+            return jnp.tanh(x) * self.scale
+
+    text = """
+name: "pynet"
+layer { name: "data" type: "Input" top: "data"
+        input_param { shape { dim: 4 dim: 1 dim: 6 dim: 6 } } }
+layer { name: "label" type: "Input" top: "label"
+        input_param { shape { dim: 4 } } }
+layer { name: "conv" type: "Convolution" bottom: "data" top: "conv"
+        convolution_param { num_output: 4 kernel_size: 3 pad: 1
+                            weight_filler { type: "xavier" } } }
+layer { name: "act" type: "Python" bottom: "conv" top: "act"
+        python_param { module: "test_py_mod" layer: "ScaledTanh"
+                       param_str: "2.0" } }
+layer { name: "ip" type: "InnerProduct" bottom: "act" top: "ip"
+        inner_product_param { num_output: 2
+                              weight_filler { type: "xavier" } } }
+layer { name: "out" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+        top: "out" }
+"""
+    net = Net(text)
+    params = net.init(jax.random.key(0))
+    assert net.shapes["act"] == net.shapes["conv"]
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 6, 6, 1), jnp.float32)
+    lab = jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32)
+
+    blobs = net.apply(params, {"data": x, "label": lab})
+    np.testing.assert_allclose(np.asarray(blobs["act"]),
+                               2.0 * np.tanh(np.asarray(blobs["conv"])),
+                               atol=1e-6)
+
+    def loss(p):
+        return net.apply(p, {"data": x, "label": lab})["loss"]
+
+    step = jax.jit(lambda p: jax.tree.map(
+        lambda w, g: w - 0.5 * g, p, jax.grad(loss)(p)))
+    l0 = float(loss(params))
+    g0 = jax.grad(loss)(params)
+    assert float(jnp.abs(g0["conv"]["w"]).sum()) > 0   # grad flows through
+    for _ in range(5):
+        params = step(params)
+    assert float(loss(params)) < l0
+
+
+def test_python_layer_unresolvable_raises():
+    text = ('layer { name: "i" type: "Input" top: "d" '
+            'input_param { shape { dim: 1 dim: 1 dim: 2 dim: 2 } } }\n'
+            'layer { name: "p" type: "Python" bottom: "d" top: "p" '
+            'python_param { module: "no_such_mod_xyz" layer: "Nope" } }')
+    with pytest.raises(ValueError, match="neither registered"):
+        Net(text).init(jax.random.key(0))
