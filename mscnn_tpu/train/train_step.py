@@ -197,6 +197,33 @@ def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
     """
     objective = loss_function if loss_function is not None else loss_fn
 
+    # Backward-need pruning (net.cpp:191-247 parity): a param with
+    # lr_mult 0 never updates (local_rate 0 and zero-initialized history),
+    # so cut it out of the autodiff graph entirely.  With MS-CNN's frozen
+    # conv1/conv2 this lets XLA drop the whole backward below conv3_1 —
+    # the full-resolution dgrad/wgrad and pool1/pool2 select-and-scatter
+    # that otherwise dominate the step (BENCH.md round 3).  The returned
+    # grads are exact zeros for frozen leaves, which is also what the
+    # reference's pruned layers report.
+    if lr_mults is not None:
+        def _prune_frozen(params):
+            def maybe_stop(path, leaf):
+                mult = lr_mults
+                try:
+                    for entry in path:
+                        mult = mult[entry.key]
+                except (KeyError, TypeError):
+                    return leaf   # no mult recorded -> trainable
+                return jax.lax.stop_gradient(leaf) if mult == 0.0 else leaf
+
+            return jax.tree_util.tree_map_with_path(maybe_stop, params)
+
+        base_objective = objective
+
+        def objective(params, batch, key, cfg, tspec):  # noqa: F811
+            return base_objective(_prune_frozen(params), batch, key, cfg,
+                                  tspec)
+
     def grads_and_metrics(params, batch, key):
         if sspec.iter_size > 1:
             # gradient accumulation: batch pytree carries a leading

@@ -98,6 +98,58 @@ def test_lr_multipliers_freeze_trunk(tiny):
         np.asarray(params["conv3_1"]["w"]))
 
 
+def test_frozen_backward_pruning_equivalent_and_cheaper(tiny):
+    """lr_mult-0 params are cut from autodiff (net.cpp:191-247 parity):
+    the step result matches the unpruned math exactly, while the compiled
+    backward does measurably less work."""
+    cfg, params = tiny
+    lr_mults = M.param_lr_multipliers(params, cfg)
+    decay_mults = M.param_decay_multipliers(params, cfg)
+    tspec = T.TrainSpec(stage=1, sample_mode="random",
+                        pos_neg_weighted=False, with_metrics=False)
+    sspec = S.SolverSpec(base_lr=1e-2, lr_policy="fixed", momentum=0.9,
+                         weight_decay=5e-4)
+    batch = make_batch(cfg)
+    key = jax.random.key(3)
+
+    step = T.make_train_step(cfg, tspec, sspec, lr_mults=lr_mults,
+                             decay_mults=decay_mults, donate=False)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    pruned_state, _ = step(state, batch, key)
+
+    # unpruned reference: full grads + the same multiplier-aware update
+    grads = jax.grad(
+        lambda p: T.loss_fn(p, batch, key, cfg, tspec)[0])(params)
+    ref_params, _, _ = S.apply_update(
+        params, grads, S.init_state(params, sspec), sspec, lr_mults,
+        decay_mults)
+    for name in ("conv1_1", "conv3_1", "LFCN_0", "conv6_1"):
+        if name not in params:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(pruned_state["params"][name]["w"]),
+            np.asarray(ref_params[name]["w"]), rtol=1e-5, atol=1e-7,
+            err_msg=name)
+
+    # and the pruned backward compiles to strictly less work
+    def flops(fn):
+        c = jax.jit(fn).lower(params, batch, key).compile().cost_analysis()
+        return (c[0] if isinstance(c, (list, tuple)) else c)["flops"]
+
+    def pruned_grad(p, bt, k):
+        def obj(pp):
+            frozen = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: jax.lax.stop_gradient(leaf)
+                if lr_mults[path[0].key][path[1].key] == 0.0 else leaf, pp)
+            return T.loss_fn(frozen, bt, k, cfg, tspec)[0]
+        return jax.grad(obj)(p)
+
+    def full_grad(p, bt, k):
+        return jax.grad(lambda pp: T.loss_fn(pp, bt, k, cfg, tspec)[0])(p)
+
+    assert flops(pruned_grad) < 0.9 * flops(full_grad)
+
+
 def test_eval_step(tiny):
     cfg, params = tiny
     tspec = T.TrainSpec(stage=2, roi_batch=32)
