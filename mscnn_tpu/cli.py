@@ -485,6 +485,93 @@ def cmd_detect(args):
     return 0
 
 
+def cmd_parity(args):
+    """One-shot AP-parity harness vs the pretrained reference model:
+    .caffemodel import -> detect over the KITTI val split -> official
+    KITTI AP -> ±0.5-pt verdict against the BASELINE.md target.
+
+    Reference flow being replicated: run_mscnn_detection.m:24-162 (detect
+    + KITTI txt write) followed by evaluate_object.cpp scoring.  Run this
+    first when real weights/data land:
+
+      mscnn parity --weights mscnn_kitti_trainval_2nd_iter_35000.caffemodel \\
+                   --kitti-root /data/KITTI --zoo kitti_car/mscnn-8s-768-trainval
+    """
+    import argparse
+    import glob
+    import os
+    import tempfile
+
+    from mscnn_tpu.evaluation import kitti_eval as KE
+
+    root = args.kitti_root
+    img_dir = next((d for d in (os.path.join(root, "training", "image_2"),
+                                os.path.join(root, "image_2"),
+                                os.path.join(root, "images"), root)
+                    if glob.glob(os.path.join(d, "*.png"))
+                    or glob.glob(os.path.join(d, "*.jpg"))), None)
+    gt_dir = next((d for d in (os.path.join(root, "training", "label_2"),
+                               os.path.join(root, "label_2"),
+                               os.path.join(root, "labels"), root)
+                   if glob.glob(os.path.join(d, "*.txt"))), None)
+    if img_dir is None or gt_dir is None:
+        print(f"no images/labels under {root!r} (expected KITTI devkit "
+              f"layout: training/image_2 + training/label_2)")
+        return 1
+
+    if args.image_set:
+        ids = [int(l) for l in open(args.image_set).read().split()]
+        subset = tempfile.mkdtemp(prefix="mscnn_parity_")
+        for i in ids:
+            for ext in (".png", ".jpg"):
+                src = os.path.join(img_dir, f"{i:06d}{ext}")
+                if os.path.exists(src):
+                    os.symlink(src, os.path.join(subset, f"{i:06d}{ext}"))
+        img_dir = subset
+
+    out_dir = args.output_dir or tempfile.mkdtemp(prefix="mscnn_parity_out_")
+    det = argparse.Namespace(
+        model=args.model, zoo=args.zoo, weights=args.weights,
+        bf16=args.bf16, conv1=getattr(args, "conv1", "auto"),
+        image_dir=img_dir, output_dir=out_dir,
+        class_names=args.class_names, score_thr=0.0,
+        loader_threads=2, iterations=args.iterations,
+        devices=getattr(args, "devices", 1))
+    rc = cmd_detect(det)
+    if rc:
+        return rc
+
+    ids = sorted(int(os.path.splitext(os.path.basename(p))[0])
+                 for p in glob.glob(os.path.join(out_dir, "*.txt"))
+                 if os.path.exists(os.path.join(
+                     gt_dir, os.path.basename(p))))
+    if not ids:
+        print("no detection/gt id overlap to score")
+        return 1
+    classes = (args.class_names or "bg,car").lower().split(",")
+    classes = [c for c in classes if c != "bg"][:1] if args.cls is None \
+        else [args.cls.lower()]
+    table = KE.evaluate(gt_dir, out_dir, ids, classes=classes)
+    cls = classes[0]
+    ap = table[cls]["moderate"]
+    delta = ap - args.expected_ap
+    verdict = "PASS" if delta >= -args.tolerance else "FAIL"
+    print(json.dumps({
+        "class": cls,
+        "ap": {k: round(v, 2) for k, v in table[cls].items()},
+        "moderate_ap": round(ap, 2),
+        "expected_ap": args.expected_ap,
+        "delta": round(delta, 2),
+        "tolerance": args.tolerance,
+        "images": len(ids),
+        "verdict": verdict,
+    }))
+    print(f"KITTI {cls} moderate AP {ap:.2f} vs reference "
+          f"{args.expected_ap:.2f} ({delta:+.2f} pt, tol "
+          f"±{args.tolerance}) -> {verdict}")
+    return 0 if verdict == "PASS" else 2
+
+
 def cmd_eval(args):
     """KITTI AP scoring of a detection result dir against gt labels."""
     from mscnn_tpu.evaluation import kitti_eval as KE
@@ -798,6 +885,35 @@ def main(argv=None):
     p_eval.add_argument("--stats-dir", default=None,
                         help="write devkit-layout stats_/plot files here")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_par = sub.add_parser(
+        "parity", help="one-shot AP parity vs the pretrained reference "
+                       "(.caffemodel import -> detect -> KITTI AP -> "
+                       "±0.5-pt verdict)")
+    p_par.add_argument("--weights", required=True,
+                       help=".caffemodel (reference) or checkpoint dir")
+    p_par.add_argument("--kitti-root", required=True,
+                       help="KITTI devkit root (training/image_2 + "
+                            "training/label_2)")
+    p_par.add_argument("--model", help="deploy prototxt")
+    p_par.add_argument("--zoo", default="kitti_car/mscnn-8s-768-trainval")
+    p_par.add_argument("--image-set", help="file of val-split image ids")
+    p_par.add_argument("--output-dir", help="keep detection txts here")
+    p_par.add_argument("--class-names",
+                       help="comma list incl. bg (default bg,car)")
+    p_par.add_argument("--cls", help="class to score (default: first "
+                                     "non-bg class)")
+    p_par.add_argument("--expected-ap", type=float, default=89.0,
+                       help="reference moderate AP (BASELINE.md: ≈89-90 "
+                            "for the 576/768 KITTI car models)")
+    p_par.add_argument("--tolerance", type=float, default=0.5)
+    p_par.add_argument("--iterations", type=int, default=0,
+                       help="cap the number of images (smoke runs)")
+    p_par.add_argument("--bf16", action="store_true")
+    p_par.add_argument("--devices", type=int, default=1)
+    p_par.add_argument("--conv1", default="auto",
+                       choices=["auto", "plain", "s2d", "pallas"])
+    p_par.set_defaults(fn=cmd_parity)
 
     p_conv = sub.add_parser(
         "convert_imageset",

@@ -339,3 +339,45 @@ layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip1" bottom: "label"
     for token in ("fwd ms", "bwd ms", "conv1", "pool1", "ip1", "loss",
                   "TOTAL"):
         assert token in out, out
+
+
+def test_cli_parity_end_to_end(tmp_path, capsys):
+    """`mscnn parity`: fake .caffemodel weights + 3 KITTI-layout images ->
+    detect -> AP -> verdict, the one-shot harness to run when real
+    weights/data land (run_mscnn_detection.m + evaluate_object flow)."""
+    import cv2
+    import jax
+    from mscnn_tpu import cli
+    from mscnn_tpu.io import caffemodel as CM
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    root = tmp_path / "kitti"
+    img_dir = root / "training" / "image_2"
+    gt_dir = root / "training" / "label_2"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+        gt_dir.joinpath(f"{i:06d}.txt").write_text(
+            "Car 0.00 0 0.0 30.0 20.0 58.0 44.0 1.5 1.6 3.9 0.0 1.7 8.4 "
+            "0.0\n")
+
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(0), cfg)
+    weights = str(tmp_path / "fake.caffemodel")
+    CM.save_caffemodel(params, weights)
+
+    out_dir = tmp_path / "dets"
+    rc = cli.main(["parity", "--weights", weights,
+                   "--kitti-root", str(root), "--zoo", "tiny-test",
+                   "--class-names", "bg,car,van",
+                   "--output-dir", str(out_dir), "--expected-ap", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert '"verdict": "PASS"' in out
+    assert "moderate AP" in out
+    assert sorted(p.name for p in out_dir.glob("*.txt")) == \
+        ["000000.txt", "000001.txt", "000002.txt"]
