@@ -1,7 +1,11 @@
 """Training-step breakdown at the bench geometry (8s-768 TRAIN crop
-768x1024, batch 4, bf16): loss-only forward vs value_and_grad vs the full
-step (grads + SGD update), pipelined-dispatch protocol. The deltas split
-the 189 ms step into forward / backward / optimizer."""
+768x1024, batch 4, bf16): loss-only forward vs UNPRUNED value_and_grad vs
+the full production step (which passes lr_mults, so frozen-param backward
+pruning applies — train_step.py make_train_step), pipelined-dispatch
+protocol.  fwd_bwd_ms deliberately measures the unpruned gradient: the
+gap between it + update and full_step_ms is the net.cpp:191-247-style
+backward-pruning saving (round 3: 182 ms unpruned fwd+bwd vs 104 ms full
+pruned step = ~78 ms reclaimed; 21.3 -> 38.6 train img/s)."""
 
 import dataclasses
 import json
@@ -72,8 +76,8 @@ def main():
     res["full_step_ms"] = round(
         timed(lambda s: step(s, batch, key)[1], state), 1)
     res["bwd_delta_ms"] = round(res["fwd_bwd_ms"] - res["fwd_loss_ms"], 1)
-    res["update_delta_ms"] = round(
-        res["full_step_ms"] - res["fwd_bwd_ms"], 1)
+    res["pruning_saving_ms"] = round(
+        res["fwd_bwd_ms"] - res["full_step_ms"], 1)
     res["train_img_per_s"] = round(b / (res["full_step_ms"] / 1e3), 2)
     print(json.dumps(res, indent=1))
 

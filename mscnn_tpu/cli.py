@@ -786,6 +786,9 @@ def cmd_extract_features(args):
     else:
         cfg = zoo.get(args.zoo or "kitti_car/mscnn-8s-768-trainval",
                       deploy=True)
+    # feature extraction reads trunk blobs only; a cascade's base config
+    # and params carry the full trunk
+    cfg = getattr(cfg, "base", cfg)
     params = M.init_params(jax.random.key(0), cfg)
     if args.weights:
         params = CKPT.restore_params(args.weights, params)

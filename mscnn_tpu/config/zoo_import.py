@@ -362,4 +362,48 @@ def deploy_model_from_prototxt(path: str, *, max_out: int = 512,
         use_2x_upsample=_conv_by_name(net, "conv4_3_2x") is not None,
         roi_align=_first(net, "ROIAlign") is not None,
     )
+    stages = _cascade_deploy_stages(net)
+    if stages is not None:
+        from mscnn_tpu.models.cascade import CascadeConfig
+        # citypersons/widerface cascades score deploy detections with the
+        # cls_prob_3rd_avg ensemble blob; KITTI reads plain cls_prob_3rd
+        ensemble = any(str(l.get("name", "")).endswith("_avg")
+                       for l in PB.layers(net))
+        return CascadeConfig(base=geom, stages=stages,
+                             ensemble_avg=ensemble)
     return geom
+
+
+def _cascade_deploy_stages(net):
+    """Stage specs from a cascade DEPLOY prototxt, or None for plain nets.
+
+    The deploy graph carries each refinement's bbox_std on its chained
+    DecodeBBox layers (cascade mscnn_deploy.prototxt:563-573 stage 1 ->
+    2, :729-739 stage 2 -> 3); stage presence comes from the suffixed
+    cls_pred heads.  Train-only fields (fg thresholds, sampling) keep
+    default_stages() values — deploy never reads them."""
+    import dataclasses as _dc
+
+    from mscnn_tpu.models.cascade import default_stages
+
+    names = {str(l.get("name", "")) for l in PB.layers(net)}
+    present = [s for s in ("", "_2nd", "_3rd", "_4th")
+               if f"cls_pred{s}" in names]
+    if len(present) < 2:
+        return None
+    stds = {}
+    for layer in PB.layers_by_type(net, "DecodeBBox"):
+        bots = [str(b) for b in PB.as_list(layer.get("bottom"))]
+        if not bots or not bots[0].startswith("bbox_pred"):
+            continue
+        sfx = bots[0][len("bbox_pred"):]
+        std = tuple(float(x) for x in PB.as_list(
+            layer.get("bbox_reg_param", {}).get("bbox_std")))
+        if len(std) == 4:
+            stds.setdefault(sfx, std)
+    tmpl = default_stages()
+    return tuple(
+        _dc.replace(tmpl[min(i, len(tmpl) - 1)], suffix=sfx,
+                    bbox_std=stds.get(
+                        sfx, tmpl[min(i, len(tmpl) - 1)].bbox_std))
+        for i, sfx in enumerate(present))

@@ -61,7 +61,11 @@ def postprocess(outputs, ratios, orig_wh, cfg: M.MSCNNConfig,
     # bad-proposal filter (zero size or low objectness, .m:81-83)
     valid = valid & (pscore >= spec.proposal_thr) & (pw != 0) & (ph != 0)
 
-    prob = jax.nn.softmax(cls_pred, axis=-1)
+    # cascade deploys may supply pre-averaged stage probabilities
+    # (cls_prob_3rd_avg); plain models score with the head's own softmax
+    prob = outputs.get("cls_prob")
+    if prob is None:
+        prob = jax.nn.softmax(cls_pred, axis=-1)
     mean = jnp.asarray(cfg.bbox_mean)
     std = jnp.asarray(cfg.bbox_std)
     ctr_x = rois[:, 0] + 0.5 * pw
@@ -247,6 +251,8 @@ def detect_batch(params, images_bgr: Sequence[np.ndarray],
             "cls_pred": outputs["cls_pred"][i * R:(i + 1) * R],
             "bbox_pred": outputs["bbox_pred"][i * R:(i + 1) * R],
         }
+        if "cls_prob" in outputs:
+            sub["cls_prob"] = outputs["cls_prob"][i * R:(i + 1) * R]
         ratios = jnp.asarray([net_h / oh, net_w / ow], jnp.float32)
         orig_wh = jnp.asarray([ow, oh], jnp.float32)
         boxes, scores, valid = postprocess(sub, ratios, orig_wh,
@@ -267,17 +273,19 @@ def detect_batch(params, images_bgr: Sequence[np.ndarray],
 
 def make_cascade_forward(params, ccfg, mesh=None):
     """Cascade deploy forward (run_cascademscnn.m reads the 3rd-stage
-    blobs): emits the last-stage rois plus the stage-averaged class
-    probabilities, presented as log-probs so postprocess's softmax
-    reproduces them exactly. `mesh` shards the image batch as in
-    make_forward."""
+    blobs): emits the last-stage rois and, per ccfg.ensemble_avg, either
+    scores from the last head alone (cls_prob_3rd, the KITTI cascade) or
+    every head re-scored on the final proposals and averaged
+    (cls_prob_3rd_avg, citypersons/widerface).  `mesh` shards the image
+    batch as in make_forward."""
     from mscnn_tpu.models import cascade as CC
 
     def fwd(p, im):
-        out = CC.deploy_forward(p, im, ccfg)
-        out = dict(out)
-        out["cls_pred"] = jnp.log(
-            jnp.maximum(out.pop("cls_prob_avg"), 1e-20))
+        out = dict(CC.deploy_forward(p, im, ccfg))
+        if ccfg.ensemble_avg:
+            out["cls_prob"] = out.pop("cls_prob_avg")
+        else:
+            out.pop("cls_prob_avg")
         return out
 
     if mesh is None:
@@ -291,8 +299,10 @@ def make_cascade_forward(params, ccfg, mesh=None):
 def detect_cascade(params, image_bgr: np.ndarray, ccfg,
                    spec: DetectSpec = DetectSpec(), *,
                    mean_values=(104.0, 117.0, 123.0), fwd=None):
-    """Cascade detection: staged refinement, stage-averaged scores (the
-    standard Cascade-R-CNN ensemble), class-agnostic final regression."""
+    """Cascade detection: staged refinement, class-agnostic final
+    regression.  Scores follow ccfg.ensemble_avg: last-stage softmax
+    (KITTI cascade, cls_prob_3rd) or all heads re-scored on the final
+    proposals and averaged (citypersons/widerface, cls_prob_3rd_avg)."""
     if fwd is None:
         fwd = make_cascade_forward(params, ccfg)
     # cascade bbox_pred is class-agnostic 8-wide; postprocess slices per

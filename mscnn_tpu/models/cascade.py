@@ -58,6 +58,14 @@ class CascadeConfig:
     stages: Tuple[CascadeStageSpec, ...] = dataclasses.field(
         default_factory=default_stages)
     gt_iou_thr: float = 0.95       # DecodeBBoxParameter default
+    # Deploy scoring: False = softmax of the LAST stage's logits (the
+    # KITTI cascade demo reads plain cls_prob_3rd,
+    # kitti_car run_cascademscnn.m:46); True = every stage head re-scored
+    # on the FINAL proposals and averaged — the reference's
+    # cls_prob_3rd_avg Eltwise over cls_prob_{1st,2nd}_3rd
+    # (citypersons/widerface cascade mscnn_deploy.prototxt:1230-1236,
+    # their run_cascademscnn.m:46).
+    ensemble_avg: bool = False
 
 
 def init_params(key, ccfg: CascadeConfig):
@@ -211,8 +219,12 @@ def loss_fn(params, batch, key, ccfg: CascadeConfig, tspec,
 def deploy_forward(params, images, ccfg: CascadeConfig):
     """Cascade inference: trunk -> proposals -> staged refinement. Returns
     the 3rd-stage outputs (proposals_3rd / cls_pred_3rd / bbox_pred_3rd,
-    the blobs run_cascademscnn.m reads) plus per-stage class probabilities
-    averaged over stages (the standard Cascade-R-CNN ensemble score)."""
+    the blobs run_cascademscnn.m reads) plus `cls_prob_avg`, every stage's
+    head re-scored on the FINAL proposals and averaged — the reference's
+    cls_prob_3rd_avg blob (Eltwise mean of cls_prob_{1st,2nd}_3rd, e.g.
+    citypersons cascade mscnn_deploy.prototxt:1230-1236).  Scoring choice
+    is ccfg.ensemble_avg: the KITTI cascade reads plain cls_prob_3rd, the
+    citypersons/widerface cascades read the average."""
     cfg = ccfg.base
     feats = M.trunk(params, images, cfg)
     outs = M.heads(params, feats, cfg)
@@ -222,17 +234,25 @@ def deploy_forward(params, images, ccfg: CascadeConfig):
 
     feat2x = M.upsampled_roi_feature(params, feats["conv4_3"], cfg)
     cur_boxes, cur_valid = boxes, valid
-    cls_probs = []
     cls_pred = bbox_pred = None
     for si, st in enumerate(ccfg.stages):
         cls_pred, bbox_pred = M.roi_head(
             params, feats["conv4_3"], batch_idx, cur_boxes, cur_valid, cfg,
             train=False, suffix=st.suffix, feat=feat2x)
-        cls_probs.append(jax.nn.softmax(cls_pred, axis=-1))
         if si + 1 < len(ccfg.stages):
             cur_boxes, cur_valid = box_ops.decode_bbox(
                 bbox_pred, cur_boxes, cur_valid,
                 bbox_mean=(0.0,) * 4, bbox_std=st.bbox_std, train=False)
+
+    # ensemble: earlier heads re-scored on the final-stage proposals
+    # (cls_pred_{1st,2nd}_3rd in the reference deploys); the last stage's
+    # own logits already describe the final boxes
+    cls_probs = [jax.nn.softmax(cls_pred, axis=-1)]
+    for st in ccfg.stages[:-1]:
+        cp, _ = M.roi_head(
+            params, feats["conv4_3"], batch_idx, cur_boxes, cur_valid, cfg,
+            train=False, suffix=st.suffix, feat=feat2x)
+        cls_probs.append(jax.nn.softmax(cp, axis=-1))
 
     return {
         "proposals": prop,

@@ -201,10 +201,13 @@ def cascade_kitti_car_7s_576_2x(*, deploy: bool = False, max_out: int = 512):
 
 
 def cascade_widerface_12s_align(*, deploy: bool = False, max_out: int = 512):
-    """widerface/cascade-mscnn-12s-align: cascade + ROIAlign, no 2x."""
+    """widerface/cascade-mscnn-12s-align: cascade + ROIAlign, no 2x.
+    Deploy scores via the reference's cls_prob_3rd_avg ensemble (widerface
+    run_cascademscnn.m:46)."""
     from mscnn_tpu.models.cascade import CascadeConfig
     return CascadeConfig(base=widerface_12s_2x(
-        deploy=deploy, max_out=max_out, roi_align=True, use_2x=False))
+        deploy=deploy, max_out=max_out, roi_align=True, use_2x=False),
+        ensemble_avg=True)
 
 
 def tiny_test_config(num_classes: int = 3, max_out: int = 32,

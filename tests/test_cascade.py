@@ -228,3 +228,39 @@ def test_detect_batch_cascade_matches_single(tiny_cascade, rng):
         for k in ("boxes", "scores", "valid"):
             np.testing.assert_allclose(b[k], s[k], rtol=1e-4, atol=1e-3,
                                        err_msg=f"cascade batched {k}")
+
+
+def test_cascade_kitti_txt_golden(tmp_path):
+    """Frozen-asset golden for the cascade deploy chain: staged decode
+    (models/cascade.py deploy_forward) -> head-ensemble scores
+    (cls_prob_3rd_avg semantics) -> postprocess -> KITTI txt, byte-compared
+    against tests/assets/golden_cascade_000007.txt (the cascade analog of
+    test_golden_inference's fixture; reference flow run_cascademscnn.m).
+
+    Regenerate the asset (only after an INTENDED semantic change) with:
+      python tests/test_cascade.py --regen-golden
+    """
+    import os
+    from mscnn_tpu import inference as I
+
+    ccfg = CC.CascadeConfig(base=zoo.tiny_test_config(deploy=True),
+                            ensemble_avg=True)
+    params = CC.init_params(jax.random.key(11), ccfg)
+    rng_img = np.random.RandomState(7)
+    img = rng_img.randint(0, 255, (80, 120, 3)).astype(np.uint8)
+    img[20:60, 30:90] = 230          # a bright block to anchor detections
+
+    det = I.detect_cascade(params, img, ccfg,
+                           I.DetectSpec(max_per_class=8, score_thr=0.0))
+    objs = I.detections_to_kitti(det, ("bg", "Car", "Pedestrian"))
+    I.write_kitti_labels(objs, str(tmp_path), 7)
+
+    asset = os.path.join(os.path.dirname(__file__), "assets",
+                         "golden_cascade_000007.txt")
+    got = open(os.path.join(str(tmp_path), "000007.txt"), "rb").read()
+    if os.environ.get("MSCNN_REGEN_GOLDEN"):
+        open(asset, "wb").write(got)
+    exp = open(asset, "rb").read()
+    assert got == exp, (f"cascade KITTI txt drifted from the frozen "
+                        f"fixture:\ngot:\n{got.decode()}\nexpected:\n"
+                        f"{exp.decode()}")

@@ -102,6 +102,14 @@ def test_trainval_2nd_imports(variant):
 def test_deploy_imports(variant):
     cfg = Z.deploy_model_from_prototxt(
         f"{REF}/{variant}/mscnn_deploy.prototxt")
+    if "cascade" in variant:
+        # cascade deploys import as CascadeConfig: stages with the
+        # DecodeBBox bbox_stds, ensemble flag from the *_avg blob
+        assert len(cfg.stages) == 3
+        assert cfg.stages[1].suffix == "_2nd"
+        assert cfg.ensemble_avg == (
+            "kitti" not in variant)   # KITTI reads plain cls_prob_3rd
+        cfg = cfg.base
     assert cfg.num_classes == _expected_num_classes(variant)
     assert cfg.proposal.max_nms_num > 0
     assert len(cfg.branches) in (7, 8, 12)
