@@ -39,6 +39,15 @@ def bench_deploy(cfg) -> float:
     batch = int(os.environ.get("MSCNN_BENCH_BATCH", "1"))
     params = M.init_params(jax.random.key(0), cfg)
     h, w = cfg.input_hw
+    if cfg.int8_trunk:
+        # calibrate + quantize on a synthetic batch (PTQ, ops/quant.py)
+        import numpy as _np
+        from mscnn_tpu.ops import quant as Q
+        calib = _np.random.RandomState(0).randn(1, h, w, 3).astype(
+            _np.float32) * 40.0
+        fcfg = dataclasses.replace(cfg, int8_trunk=False)
+        params = Q.quantize_trunk(
+            params, cfg, Q.calibrate_trunk_scales(params, fcfg, calib))
     images = jnp.zeros((batch, h, w, 3), jnp.float32)
 
     fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))
@@ -170,6 +179,10 @@ def main():
     flags = {"s2d_conv1": conv1 == "s2d", "pallas_conv1": conv1 == "pallas"}
     deploy_cfg = dataclasses.replace(deploy_cfg, **flags)
     train_cfg = dataclasses.replace(train_cfg, **flags)
+    # int8 deploy trunk (MSCNN_INT8=0 for the bf16 control): calibrated
+    # PTQ on conv2..conv6 (ops/quant.py); training stays bf16
+    if os.environ.get("MSCNN_INT8", "1") not in ("0", "false"):
+        deploy_cfg = dataclasses.replace(deploy_cfg, int8_trunk=True)
 
     img_per_sec = bench_deploy(deploy_cfg)
     train_ips = bench_train(train_cfg)

@@ -94,3 +94,30 @@ for k in range(60):
 for d in range(3):
     _, ap = KE.eval_class(gts_all, dets_all, "pedestrian", d)
     print(f"AP[{KE.DIFFICULTIES[d]}] = {ap:.1f}")
+
+# --- int8 trunk: same trained model, PTQ-calibrated, re-scored ---------------
+from mscnn_tpu.ops import quant as Q
+calib_imgs = np.stack([sample_scene(np.random.RandomState(7))[0]
+                       for _ in range(4)])
+scales = Q.calibrate_trunk_scales(state["params"], dcfg, calib_imgs)
+qparams = Q.quantize_trunk(state["params"], dcfg, scales)
+qcfg = dataclasses.replace(dcfg, int8_trunk=True)
+qfwd = I.make_forward(qparams, qcfg)
+rng3 = np.random.RandomState(99)
+qdets_all = []
+for k in range(60):
+    img, _ = sample_scene(rng3)
+    bgr = np.clip(img + 127.0, 0, 255).astype(np.uint8)
+    det = I.detect(qparams, bgr, qcfg, spec,
+                   mean_values=(127.0, 127.0, 127.0), fwd=qfwd)
+    drow = []
+    for bx, sc, v in zip(det["boxes"][0], det["scores"][0],
+                         det["valid"][0]):
+        if v:
+            drow.append(KE.KittiObject(
+                "pedestrian", -1, -1, bx[0], bx[1], bx[0] + bx[2],
+                bx[1] + bx[3], score=float(sc)))
+    qdets_all.append(drow)
+for d in range(3):
+    _, ap = KE.eval_class(gts_all, qdets_all, "pedestrian", d)
+    print(f"int8 AP[{KE.DIFFICULTIES[d]}] = {ap:.1f}")

@@ -377,6 +377,36 @@ def cmd_detect(args):
     if args.weights:
         params = CKPT.restore_params(args.weights, params)
 
+    if getattr(args, "int8", False):
+        if ccfg is not None:
+            print("--int8 currently covers the plain deploy trunk, not "
+                  "cascades")
+            return 1
+        # PTQ calibration from the first images of the run itself
+        import numpy as _np
+        from mscnn_tpu.ops import quant as Q
+        ncal = max(int(getattr(args, "calib_images", 4) or 4), 1)
+        cal_paths = sorted(
+            glob.glob(os.path.join(args.image_dir, "*.png")) +
+            glob.glob(os.path.join(args.image_dir, "*.jpg")))[:ncal]
+        net_h, net_w = cfg.input_hw
+        mean = _np.asarray([104.0, 117.0, 123.0], _np.float32)
+        cals = []
+        for p in cal_paths:
+            im = cv2.imread(p, cv2.IMREAD_COLOR)
+            if im is None:
+                continue
+            cals.append(cv2.resize(im, (net_w, net_h)).astype(_np.float32)
+                        - mean)
+        if not cals:
+            print("no readable calibration images")
+            return 1
+        scales = Q.calibrate_trunk_scales(params, cfg, _np.stack(cals))
+        params = Q.quantize_trunk(params, cfg, scales)
+        cfg = dataclasses.replace(cfg, int8_trunk=True)
+        print(f"int8 trunk: calibrated {len(scales)} layers from "
+              f"{len(cals)} images")
+
     names = args.class_names.split(",") if args.class_names else \
         I.KITTI_CLASS_NAMES["kitti_car"][: cfg.num_classes]
     spec = I.DetectSpec(score_thr=args.score_thr)
@@ -877,6 +907,10 @@ def main(argv=None):
     p_det.add_argument("--loader-threads", type=int, default=2,
                        help="image-decode prefetch threads (IO overlaps "
                             "device compute)")
+    p_det.add_argument("--int8", action="store_true",
+                       help="post-training int8 trunk (ops/quant.py), "
+                            "calibrated from the first --calib-images")
+    p_det.add_argument("--calib-images", type=int, default=4)
     _add_common(p_det)
     p_det.set_defaults(fn=cmd_detect)
 

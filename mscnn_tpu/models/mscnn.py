@@ -123,6 +123,10 @@ class MSCNNConfig:
     # full-res activations; ops/pallas/conv1_kernel.py). Exact oracle
     # fallback is the plain conv path (pallas_conv1=False).
     pallas_conv1: bool = False
+    # post-training int8 trunk (deploy-only): calibrated layers carry
+    # w_q/w_s/x_s leaves (ops/quant.py quantize_trunk); layers without
+    # them keep the float path, so a half-calibrated model still runs
+    int8_trunk: bool = False
 
     @property
     def head_channels(self) -> int:
@@ -252,11 +256,19 @@ def param_decay_multipliers(params, cfg: MSCNNConfig):
 # Forward functions
 # ---------------------------------------------------------------------------
 
-def _cb(params, name, x, relu=True):
+def _cb(params, name, x, relu=True, int8=False):
     p = params[name]
     kh, kw = p["w"].shape[0], p["w"].shape[1]
-    y = C.conv2d(x, p["w"].astype(x.dtype), p["b"],
-                 padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)])
+    if int8 and "w_q" in p:
+        # calibrated int8 fast path (ops/quant.py): int8 x int8 -> int32
+        # conv, dequant + bias fused into the epilogue
+        from mscnn_tpu.ops import quant as Q
+        y = Q.conv2d_int8(x, p["x_s"], p["w_q"], p["w_s"], p["b"],
+                          padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                          out_dtype=x.dtype)
+    else:
+        y = C.conv2d(x, p["w"].astype(x.dtype), p["b"],
+                     padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)])
     return jax.nn.relu(y) if relu else y
 
 
@@ -285,7 +297,7 @@ def trunk(params, x, cfg: MSCNNConfig):
         blocks = blocks[2:]  # conv1_1 / conv1_2 consumed (full-res feats
         #                      are never read downstream)
     for lname, _ in blocks:
-        x = _cb(params, lname, x)
+        x = _cb(params, lname, x, int8=cfg.int8_trunk)
         feats[lname] = x
         if lname in POOL_AFTER:
             x = C.max_pool(x, 2, 2)
@@ -293,7 +305,8 @@ def trunk(params, x, cfg: MSCNNConfig):
     for spec in cfg.extra_layers:
         if spec[0] == "conv":
             _, lname, source, _, _ = spec
-            feats[lname] = _cb(params, lname, feats[source])
+            feats[lname] = _cb(params, lname, feats[source],
+                               int8=cfg.int8_trunk)
         else:
             _, lname, source, mode, k, s = spec
             pool = C.max_pool if mode == "max" else C.avg_pool

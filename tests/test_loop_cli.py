@@ -381,3 +381,32 @@ def test_cli_parity_end_to_end(tmp_path, capsys):
     assert "moderate AP" in out
     assert sorted(p.name for p in out_dir.glob("*.txt")) == \
         ["000000.txt", "000001.txt", "000002.txt"]
+
+
+def test_cli_detect_int8(tmp_path, capsys):
+    """`mscnn detect --int8`: calibrated int8 trunk produces the same
+    label-file surface as the float path."""
+    import cv2
+    from mscnn_tpu import cli
+
+    img_dir = tmp_path / "imgs"
+    out_dir = tmp_path / "out"
+    img_dir.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        img[20:44, 30:58] = 240
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+    rc = cli.main(["detect", "--image-dir", str(img_dir),
+                   "--output-dir", str(out_dir), "--zoo", "tiny-test",
+                   "--class-names", "bg,car,van", "--int8",
+                   "--calib-images", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "int8 trunk: calibrated" in out
+    for i in range(2):
+        path = out_dir / f"{i:06d}.txt"
+        assert path.exists()
+        for line in path.read_text().splitlines():
+            f = line.split()
+            assert len(f) == 16 and f[0] in ("car", "van")
