@@ -59,6 +59,28 @@ def snapshot_caffemodel(prefix: str, train_state,
     return base + ".caffemodel"
 
 
+def snapshot_hdf5(prefix: str, train_state, it: Optional[int] = None,
+                  current_step: int = 0) -> str:
+    """Write `<prefix>_iter_N.caffemodel.h5` + `.solverstate.h5` in the
+    reference's HDF5 snapshot format (snapshot_format: HDF5;
+    Net::ToHDF5 net.cpp:868 + sgd_solver.cpp:279-302).  Returns the
+    .caffemodel.h5 path."""
+    from mscnn_tpu.io import hdf5_snapshot as H5
+
+    if it is None:
+        it = int(jax.device_get(train_state["solver"]["it"]))
+    base = os.path.abspath(f"{prefix}_iter_{it}")
+    params = jax.device_get(train_state["params"])
+    H5.save_hdf5_weights(params, base + ".caffemodel.h5")
+    solver = jax.device_get(train_state["solver"])
+    if "h1" in solver:
+        H5.save_hdf5_solverstate(
+            solver, base + ".solverstate.h5",
+            learned_net=os.path.basename(base) + ".caffemodel.h5",
+            current_step=current_step)
+    return base + ".caffemodel.h5"
+
+
 def restore(path: str, template_state):
     """Restore a full train state (params + solver history + iter)."""
     with ocp.StandardCheckpointer() as ckptr:
@@ -72,6 +94,10 @@ def restore_params(path: str, template_params):
     if path.endswith(".caffemodel"):
         from mscnn_tpu.io import caffemodel as CM
         out, _ = CM.load_caffemodel_params(path, template_params)
+        return out
+    if path.endswith((".h5", ".hdf5")):
+        from mscnn_tpu.io import hdf5_snapshot as H5
+        out, _ = H5.load_hdf5_weights(path, template_params)
         return out
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         restored = ckptr.restore(os.path.abspath(path))

@@ -33,7 +33,7 @@ class LoopSpec:
     test_iter: int = 0
     snapshot: int = 0              # 0 = only at exit
     snapshot_prefix: str = "mscnn"
-    snapshot_format: str = "orbax"  # orbax | binaryproto (reference wire)
+    snapshot_format: str = "orbax"  # orbax | binaryproto | hdf5 (reference)
     sigint_effect: str = "stop"    # stop | snapshot | none
     sighup_effect: str = "snapshot"
     stepvalue: tuple = ()          # multistep lr boundaries (for the
@@ -72,12 +72,14 @@ def _snapshot(spec: LoopSpec, train_state, it) -> str:
     """Dispatch on snapshot_format: our orbax train-state dir, or the
     reference's .caffemodel/.solverstate pair (Solver::Snapshot,
     solver.cpp:403-419)."""
-    if spec.snapshot_format == "binaryproto":
+    if spec.snapshot_format in ("binaryproto", "hdf5"):
         # current_step = multistep lr stage index (sgd_solver.cpp's
         # this->current_step_), so the reference resumes the lr schedule
         cur = sum(1 for sv in spec.stepvalue if it >= int(sv))
-        return CKPT.snapshot_caffemodel(spec.snapshot_prefix, train_state,
-                                        it, current_step=cur)
+        writer = CKPT.snapshot_caffemodel \
+            if spec.snapshot_format == "binaryproto" else CKPT.snapshot_hdf5
+        return writer(spec.snapshot_prefix, train_state, it,
+                      current_step=cur)
     return CKPT.snapshot(spec.snapshot_prefix, train_state, it)
 
 
@@ -180,9 +182,9 @@ def loop_spec_from_solver_fields(fields: dict,
         test_interval=int(fields.get("test_interval", 0)),
         test_iter=int(fields.get("test_iter", 0)),
         snapshot=int(fields.get("snapshot", 0)),
-        snapshot_format=("binaryproto"
-                         if str(fields.get("snapshot_format", "")).upper()
-                         == "BINARYPROTO" else "orbax"),
+        snapshot_format={"BINARYPROTO": "binaryproto",
+                         "HDF5": "hdf5"}.get(
+            str(fields.get("snapshot_format", "")).upper(), "orbax"),
         snapshot_prefix=snapshot_prefix
         or str(fields.get("snapshot_prefix", "mscnn")),
         stepvalue=tuple(int(v)

@@ -339,3 +339,108 @@ def test_solverstate_current_step_field(tmp_path):
     parsed = CM.parse_solverstate(str(path))
     assert parsed["iter"] == 120
     assert parsed["current_step"] == 3
+
+
+# --- HDF5 snapshot variant ---------------------------------------------------
+
+def test_hdf5_weights_roundtrip(tmp_path):
+    """save_hdf5_weights -> load_hdf5_weights is bit-exact on the flagship
+    inventory and the file matches Caffe's Net::ToHDF5 layout
+    (/data/<layer>/<param_id>)."""
+    import h5py
+    from mscnn_tpu.io import hdf5_snapshot as H5
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    cfg = zoo.get("kitti_car/mscnn-8s-768-trainval", deploy=True)
+    shapes = jax.eval_shape(lambda k: M.init_params(k, cfg),
+                            jax.random.key(0))
+    cheap = np.random.default_rng(1)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(cheap.standard_normal(s.shape), s.dtype),
+        shapes)
+    path = str(tmp_path / "w.caffemodel.h5")
+    n = H5.save_hdf5_weights(params, path)
+    assert n == sum(1 for p in params.values() if "w" in p)
+
+    with h5py.File(path, "r") as f:
+        assert "data" in f
+        assert "conv3_1" in f["data"] and "0" in f["data"]["conv3_1"]
+        # caffe blob layout on disk: OIHW
+        w_disk = np.asarray(f["data"]["conv3_1"]["0"])
+        assert w_disk.shape == tuple(
+            np.asarray(params["conv3_1"]["w"]).shape[i]
+            for i in (3, 2, 0, 1))
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    out, report = H5.load_hdf5_weights(path, zero)
+    assert not report["mismatched"], report["mismatched"]
+    assert not report["skipped"]
+    _assert_params_equal(out, params)
+
+
+def test_hdf5_matches_binaryproto(tmp_path):
+    """The two snapshot formats load to identical pytrees (same layout
+    transposers under both)."""
+    from mscnn_tpu.io import hdf5_snapshot as H5
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(3), cfg)
+    p_bp = str(tmp_path / "a.caffemodel")
+    p_h5 = str(tmp_path / "a.caffemodel.h5")
+    CM.save_caffemodel(params, p_bp)
+    H5.save_hdf5_weights(params, p_h5)
+    zero = jax.tree.map(jnp.zeros_like, params)
+    a, _ = CM.load_caffemodel_params(p_bp, zero)
+    b, _ = H5.load_hdf5_weights(p_h5, zero)
+    _assert_params_equal(a, b)
+
+
+def test_hdf5_solverstate_roundtrip(tmp_path):
+    """HDF5 .solverstate.h5: iter/current_step/history round-trip with the
+    caffe dataset layout (iter + history/<i>)."""
+    import h5py
+    from mscnn_tpu.io import hdf5_snapshot as H5
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+    from mscnn_tpu.train import solver as S
+
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(4), cfg)
+    sspec = S.SolverSpec(type="sgd", momentum=0.9)
+    state = S.init_state(params, sspec)
+    state = dict(state)
+    state["it"] = jnp.asarray(123, jnp.int32)
+    rng = np.random.default_rng(5)
+    state["h1"] = jax.tree.map(
+        lambda x: jnp.asarray(rng.standard_normal(x.shape), x.dtype),
+        state["h1"])
+
+    path = str(tmp_path / "s.solverstate.h5")
+    H5.save_hdf5_solverstate(state, path, learned_net="model.h5",
+                             current_step=2)
+    with h5py.File(path, "r") as f:
+        assert int(np.asarray(f["iter"]).reshape(-1)[0]) == 123
+        assert int(np.asarray(f["current_step"]).reshape(-1)[0]) == 2
+        assert len(f["history"]) > 0
+
+    template = S.init_state(params, sspec)
+    restored, it = H5.load_hdf5_solverstate(path, template)
+    assert it == 123
+    _assert_params_equal(restored["h1"], state["h1"])
+
+
+def test_restore_params_dispatches_hdf5(tmp_path):
+    from mscnn_tpu.io import checkpoint as CKPT
+    from mscnn_tpu.io import hdf5_snapshot as H5
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(6), cfg)
+    path = str(tmp_path / "w.caffemodel.h5")
+    H5.save_hdf5_weights(params, path)
+    out = CKPT.restore_params(path, jax.tree.map(jnp.zeros_like, params))
+    _assert_params_equal(out, params)

@@ -410,3 +410,26 @@ def test_cli_detect_int8(tmp_path, capsys):
         for line in path.read_text().splitlines():
             f = line.split()
             assert len(f) == 16 and f[0] in ("car", "van")
+
+
+def test_snapshot_format_hdf5(tmp_path):
+    """solver `snapshot_format: HDF5` -> .caffemodel.h5/.solverstate.h5
+    pair in the reference's Net::ToHDF5 layout."""
+    import jax
+    import jax.numpy as jnp
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+    from mscnn_tpu.train import loop as LP
+    from mscnn_tpu.train import solver as S
+
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(0), cfg)
+    sspec = S.SolverSpec(momentum=0.9)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+    lspec = LP.LoopSpec(max_iter=5, snapshot_format="hdf5",
+                        snapshot_prefix=str(tmp_path / "snap"))
+    path = LP._snapshot(lspec, state, 5)
+    assert path.endswith("_iter_5.caffemodel.h5")
+    import os
+    assert os.path.exists(path)
+    assert os.path.exists(str(tmp_path / "snap_iter_5.solverstate.h5"))
