@@ -36,7 +36,10 @@ REFERENCE_IMG_PER_SEC = 2.5  # Titan, mscnn deploy (BASELINE.md)
 def bench_deploy(cfg) -> float:
     from mscnn_tpu.models import mscnn as M
 
-    batch = int(os.environ.get("MSCNN_BENCH_BATCH", "1"))
+    # batch 4 is the aggregate-throughput sweet spot since the per-image
+    # ROI pooling fix (BENCH.md round 3: b1 46.8 / b4 52.8 img/s);
+    # MSCNN_BENCH_BATCH=1 gives the single-stream latency variant
+    batch = int(os.environ.get("MSCNN_BENCH_BATCH", "4"))
     params = M.init_params(jax.random.key(0), cfg)
     h, w = cfg.input_hw
     if cfg.int8_trunk:

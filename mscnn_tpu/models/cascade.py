@@ -238,7 +238,7 @@ def deploy_forward(params, images, ccfg: CascadeConfig):
     for si, st in enumerate(ccfg.stages):
         cls_pred, bbox_pred = M.roi_head(
             params, feats["conv4_3"], batch_idx, cur_boxes, cur_valid, cfg,
-            train=False, suffix=st.suffix, feat=feat2x)
+            train=False, suffix=st.suffix, feat=feat2x, image_major=True)
         if si + 1 < len(ccfg.stages):
             cur_boxes, cur_valid = box_ops.decode_bbox(
                 bbox_pred, cur_boxes, cur_valid,
@@ -251,7 +251,7 @@ def deploy_forward(params, images, ccfg: CascadeConfig):
     for st in ccfg.stages[:-1]:
         cp, _ = M.roi_head(
             params, feats["conv4_3"], batch_idx, cur_boxes, cur_valid, cfg,
-            train=False, suffix=st.suffix, feat=feat2x)
+            train=False, suffix=st.suffix, feat=feat2x, image_major=True)
         cls_probs.append(jax.nn.softmax(cp, axis=-1))
 
     return {

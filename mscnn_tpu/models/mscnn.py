@@ -374,34 +374,66 @@ def upsampled_roi_feature(params, conv4_3, cfg: MSCNNConfig):
 
 def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
              *, train: bool = False, dropout_key: Optional[jax.Array] = None,
-             suffix: str = "", feat=None):
+             suffix: str = "", feat=None, image_major: bool = False):
     """Detection sub-network over proposals.
 
     conv4_3: [B, H/8, W/8, 512]; batch_idx: [R]; rois: [R, 4] corners;
     valid: [R]. Returns (cls_pred [R, C], bbox_pred [R, 4C or 8]).
     suffix selects a cascade stage's head params; pass feat to reuse an
     already-upsampled ROI source map.
+
+    image_major: caller guarantees rois are grouped image-major with an
+    equal count per image (batch_idx == repeat(arange(B), R/B) — what
+    flatten_proposals emits). The fast-table pooling then gathers
+    per-image from each image's own table slice instead of one batched
+    gather over the [B, H, W, C] table — bit-exact, and it removes the
+    batch-size gather regression (BENCH.md round 3: the batched form
+    degrades 3.4 -> 7.5 ms/img from b1 to b4; the per-image form holds
+    ~4.2 ms at both).
     """
     if feat is None:
         feat = upsampled_roi_feature(params, conv4_3, cfg)
     scale = cfg.roi_spatial_scale
 
+    org = ctx = None
     if cfg.roi_align:
         pool = lambda pr: roi_ops.roi_align(  # noqa: E731
             feat, batch_idx, rois, valid, spatial_scale=scale,
             pad_ratio=pr, pooled=cfg.roi_pooled)
     elif cfg.roi_method == "fast":
         table = roi_ops.sliding_max_table(feat, 2)
-        pool = lambda pr: roi_ops.roi_max_pool_fast(  # noqa: E731
-            table, batch_idx, rois, valid, spatial_scale=scale,
-            pad_ratio=pr, pooled=cfg.roi_pooled,
-            samples=max(cfg.roi_samples // 2, 2), table_k=2, is_table=True)
+        kw = dict(spatial_scale=scale, pooled=cfg.roi_pooled,
+                  samples=max(cfg.roi_samples // 2, 2), table_k=2,
+                  is_table=True)
+        B = table.shape[0]
+        if image_major and B > 1 and rois.shape[0] % B == 0:
+            per = rois.shape[0] // B
+            rois_b = rois.reshape(B, per, 4)
+            valid_b = valid.reshape(B, per)
+            zero = jnp.zeros((per,), jnp.int32)
+
+            def one(args):
+                tb, rb, vb = args
+                o = roi_ops.roi_max_pool_fast(tb[None], zero, rb, vb,
+                                              pad_ratio=0.0, **kw)
+                c = roi_ops.roi_max_pool_fast(tb[None], zero, rb, vb,
+                                              pad_ratio=cfg.roi_pad_ratio,
+                                              **kw)
+                return o, c
+
+            org, ctx = jax.lax.map(one, (table, rois_b, valid_b))
+            org = org.reshape(-1, *org.shape[2:])
+            ctx = ctx.reshape(-1, *ctx.shape[2:])
+        else:
+            pool = lambda pr: roi_ops.roi_max_pool_fast(  # noqa: E731
+                table, batch_idx, rois, valid, pad_ratio=pr, **kw)
     else:
         pool = lambda pr: roi_ops.roi_max_pool(  # noqa: E731
             feat, batch_idx, rois, valid, spatial_scale=scale,
             pad_ratio=pr, pooled=cfg.roi_pooled, samples=cfg.roi_samples)
-    org = pool(0.0)
-    ctx = pool(cfg.roi_pad_ratio)
+    if org is None:
+        org = pool(0.0)
+        ctx = pool(cfg.roi_pad_ratio)
     x = jnp.concatenate([org, ctx], axis=-1).astype(cfg.cdtype())
 
     p = params[f"roi_c1{suffix}"]
@@ -441,7 +473,8 @@ def deploy_forward(params, images, cfg: MSCNNConfig):
     prop = propose(outs, cfg)
     batch_idx, boxes, scores, valid = flatten_proposals(prop)
     cls_pred, bbox_pred = roi_head(
-        params, feats["conv4_3"], batch_idx, boxes, valid, cfg, train=False)
+        params, feats["conv4_3"], batch_idx, boxes, valid, cfg, train=False,
+        image_major=True)   # flatten_proposals emits R rois per image
     return {
         "proposals": prop,
         "batch_idx": batch_idx,

@@ -136,8 +136,7 @@ def quantize_trunk(params, cfg, act_scales: Dict[str, float]):
     calibrated scale are left untouched (they run the float path)."""
     out = {}
     for name, p in params.items():
-        if name in act_scales and name in dict.fromkeys(TRUNK_INT8) \
-                and "w" in p:
+        if name in act_scales and name in TRUNK_INT8 and "w" in p:
             w_q, w_s = quantize_weight(p["w"])
             p = dict(p)
             p["w_q"] = w_q

@@ -90,3 +90,34 @@ def test_fast_path_in_model(rng):
                            jnp.ones(1, bool), cfg)
     assert np.isfinite(np.asarray(cls)).all()
     assert np.isfinite(np.asarray(bbox)).all()
+
+
+def test_roi_head_image_major_bit_exact():
+    """The per-image fast-table pooling (image_major=True, the deploy
+    batched-serving path) is bit-exact vs the batched gather."""
+    import dataclasses
+
+    import jax
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    cfg = zoo.tiny_test_config(deploy=True)
+    cfg = dataclasses.replace(cfg, roi_method="fast")
+    params = M.init_params(jax.random.key(0), cfg)
+    B, R = 3, 16
+    h8, w8 = cfg.input_hw[0] // 8, cfg.input_hw[1] // 8
+    ks = jax.random.split(jax.random.key(1), 3)
+    conv4_3 = jax.random.normal(ks[0], (B, h8, w8, 512), jnp.float32)
+    xy = jax.random.uniform(ks[1], (B * R, 2)) * 40.0
+    wh = 8.0 + jax.random.uniform(ks[2], (B * R, 2)) * 30.0
+    rois = jnp.concatenate([xy, xy + wh], 1)
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+    valid = jnp.ones((B * R,), bool)
+
+    a = M.roi_head(params, conv4_3, batch_idx, rois, valid, cfg,
+                   train=False, image_major=False)
+    b = M.roi_head(params, conv4_3, batch_idx, rois, valid, cfg,
+                   train=False, image_major=True)
+    for x, y, name in ((a[0], b[0], "cls"), (a[1], b[1], "bbox")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
