@@ -1,6 +1,7 @@
 """Conv/pool/deconv primitive tests."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mscnn_tpu.ops import conv as C
