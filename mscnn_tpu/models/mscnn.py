@@ -401,6 +401,9 @@ def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
             feat, batch_idx, rois, valid, spatial_scale=scale,
             pad_ratio=pr, pooled=cfg.roi_pooled)
     elif cfg.roi_method == "fast":
+        # (an int8 table — halving the gather bytes — measured NEUTRAL:
+        # the bin gathers are DMA-issue-bound, not byte-bound; BENCH.md
+        # round 3. ops/roi supports int dtypes if that balance shifts.)
         table = roi_ops.sliding_max_table(feat, 2)
         kw = dict(spatial_scale=scale, pooled=cfg.roi_pooled,
                   samples=max(cfg.roi_samples // 2, 2), table_k=2,

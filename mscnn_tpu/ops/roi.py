@@ -115,7 +115,7 @@ def sliding_max_table(feat, k: int = 2):
     pass shared by all pools over the same feature map."""
     return jax.lax.reduce_window(
         feat, -jnp.inf if jnp.issubdtype(feat.dtype, jnp.floating)
-        else jnp.iinfo(feat.dtype).min,
+        else jnp.asarray(jnp.iinfo(feat.dtype).min, feat.dtype),
         jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, 1, 1, 1),
@@ -184,13 +184,15 @@ def _roi_max_pool_table_impl(table, batch_idx, boxes, valid,
         g = table[bidx[:, None, None], h[:, :, None], w[:, None, :], :]
         return jnp.maximum(acc, g), None
 
-    neg = jnp.asarray(-3.0e38, table.dtype)
+    neg = jnp.asarray(-3.0e38, table.dtype) \
+        if jnp.issubdtype(table.dtype, jnp.floating) \
+        else jnp.asarray(jnp.iinfo(table.dtype).min, table.dtype)
     init = jnp.full((R, pooled, pooled, C), neg, table.dtype)
     out, _ = jax.lax.scan(step, init, jnp.arange(S * S))
 
     empty = (bin_h[:, :, None] == 0) | (bin_w[:, None, :] == 0)
     mask = empty | ~valid[:, None, None]
-    return jnp.where(mask[..., None], 0.0, out)
+    return jnp.where(mask[..., None], jnp.zeros((), out.dtype), out)
 
 
 def roi_max_pool_fast(feat_or_table, batch_idx, boxes, valid, *,

@@ -127,3 +127,27 @@ def test_int8_deploy_detections_match_float(rng):
         b = np.asarray(fq[blob], np.float32)
         rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
         assert rel < bound, f"{blob} rel err {rel}"
+
+
+def test_int8_roi_table_equals_quantized_exact_pool(rng):
+    """Max-pooling commutes with the monotone int8 quantizer: pooling the
+    quantized table == quantizing the float pool result, bin for bin."""
+    import dataclasses
+
+    from mscnn_tpu.ops import roi as roi_ops
+
+    feat = jnp.asarray(rng.randn(2, 24, 32, 8).astype(np.float32))
+    xs = jnp.float32(float(np.abs(np.asarray(feat)).max()) / 127.0)
+    boxes = jnp.asarray([[8.0, 8.0, 90.0, 70.0], [0.0, 0.0, 40.0, 40.0],
+                         [30.0, 20.0, 120.0, 90.0]])
+    bidx = jnp.asarray([0, 1, 1], jnp.int32)
+    valid = jnp.ones((3,), bool)
+
+    kw = dict(spatial_scale=0.25, pad_ratio=0.0, pooled=5, samples=2,
+              table_k=2)
+    f32_pool = roi_ops.roi_max_pool_fast(feat, bidx, boxes, valid, **kw)
+    q_pool = roi_ops.roi_max_pool_fast(
+        Q.quantize_act(feat, xs), bidx, boxes, valid, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(q_pool),
+        np.asarray(Q.quantize_act(f32_pool, xs)))
