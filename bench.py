@@ -50,7 +50,7 @@ def bench_deploy(cfg) -> float:
             _np.float32) * 40.0
         fcfg = dataclasses.replace(cfg, int8_trunk=False)
         params = Q.quantize_trunk(
-            params, cfg, Q.calibrate_trunk_scales(params, fcfg, calib))
+            params, Q.calibrate_trunk_scales(params, fcfg, calib))
     images = jnp.zeros((batch, h, w, 3), jnp.float32)
 
     fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))

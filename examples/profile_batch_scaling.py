@@ -37,7 +37,7 @@ def main():
     rng = np.random.RandomState(0)
     calib = rng.randn(1, h, w, 3).astype(np.float32) * 40.0
     qparams = Q.quantize_trunk(
-        params, cfg, Q.calibrate_trunk_scales(params, cfg, calib))
+        params, Q.calibrate_trunk_scales(params, cfg, calib))
     qcfg = dataclasses.replace(cfg, int8_trunk=True)
 
     res = {}

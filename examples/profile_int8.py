@@ -39,7 +39,7 @@ def main():
     base_ms = timed(fwd, params, img)
 
     scales = Q.calibrate_trunk_scales(params, cfg, np.asarray(img))
-    qparams = Q.quantize_trunk(params, cfg, scales)
+    qparams = Q.quantize_trunk(params, scales)
     qcfg = dataclasses.replace(cfg, int8_trunk=True)
     qfwd = jax.jit(lambda p, x: M.deploy_forward(p, x, qcfg))
     q_ms = timed(qfwd, qparams, img)

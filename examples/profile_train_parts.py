@@ -55,9 +55,7 @@ def main():
     key = jax.random.key(1)
 
     def freeze(p):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: jax.lax.stop_gradient(leaf)
-            if mults[path[0].key][path[1].key] == 0.0 else leaf, p)
+        return T.prune_frozen_params(p, mults)
 
     ts1 = T.TrainSpec(stage=1, sample_mode="bootstrap",
                       with_metrics=False)

@@ -100,7 +100,7 @@ from mscnn_tpu.ops import quant as Q
 calib_imgs = np.stack([sample_scene(np.random.RandomState(7))[0]
                        for _ in range(4)])
 scales = Q.calibrate_trunk_scales(state["params"], dcfg, calib_imgs)
-qparams = Q.quantize_trunk(state["params"], dcfg, scales)
+qparams = Q.quantize_trunk(state["params"], scales)
 qcfg = dataclasses.replace(dcfg, int8_trunk=True)
 qfwd = I.make_forward(qparams, qcfg)
 rng3 = np.random.RandomState(99)

@@ -402,7 +402,7 @@ def cmd_detect(args):
             print("no readable calibration images")
             return 1
         scales = Q.calibrate_trunk_scales(params, cfg, _np.stack(cals))
-        params = Q.quantize_trunk(params, cfg, scales)
+        params = Q.quantize_trunk(params, scales)
         cfg = dataclasses.replace(cfg, int8_trunk=True)
         print(f"int8 trunk: calibrated {len(scales)} layers from "
               f"{len(cals)} images")

@@ -165,6 +165,22 @@ def _deconv_dense_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 0, 1))
 
 
+def _deconv_import(w: np.ndarray, target_shape) -> np.ndarray:
+    """Caffe deconv blob -> our HWIO, disambiguating depthwise
+    [C,1,kh,kw] vs dense [in,out,kh,kw] by which transform fits
+    `target_shape` (shape alone is ambiguous when out channels == 1)."""
+    candidates = []
+    if w.ndim == 4 and w.shape[1] == 1:
+        candidates.append(_deconv_to_depthwise(w))
+    if w.ndim == 4:
+        candidates.append(_deconv_dense_to_hwio(w))
+    for c in candidates:
+        if c.shape == tuple(target_shape):
+            return c
+    return candidates[0] if candidates else w   # let the caller's shape
+    #                                             check report the mismatch
+
+
 def _fc_to_in_out(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
@@ -332,7 +348,11 @@ def _export_weight(name: str, w: np.ndarray,
     """Map one of our weights to (caffe layer type, caffe-layout array)."""
     w = np.asarray(w, np.float32)
     if w.ndim == 4 and name in deconv_names:
-        return "Deconvolution", _deconv_from_depthwise(w)
+        # depthwise HWIO [kh,kw,1,C] -> grouped [C,1,kh,kw]; dense HWIO
+        # [kh,kw,in,out] -> Caffe's reversed [in,out,kh,kw]
+        if w.shape[2] == 1:
+            return "Deconvolution", _deconv_from_depthwise(w)
+        return "Deconvolution", np.transpose(w, (2, 3, 0, 1))
     if w.ndim == 4:
         return "Convolution", _conv_from_hwio(w)
     if w.ndim == 2 and name in fc_after_pool:
@@ -465,7 +485,7 @@ def load_solverstate_history(path: str, state_template,
             w = hist.pop(0)
             target = np.asarray(p["w"])
             if w.ndim == 4 and name in deconv_names:
-                wt = _deconv_to_depthwise(w)
+                wt = _deconv_import(w, target.shape)
             elif w.ndim == 4:
                 wt = _conv_to_hwio(w)
             elif w.ndim == 2 and name in fc_after_pool:
@@ -525,8 +545,7 @@ def load_caffemodel_params(path: str, params, cfg=None,
             if "w" in p:
                 target = np.asarray(p["w"])
                 if w.ndim == 4 and name in deconv_names:
-                    wt = _deconv_to_depthwise(w) if w.shape[1] == 1 \
-                        else _deconv_dense_to_hwio(w)
+                    wt = _deconv_import(w, target.shape)
                 elif w.ndim == 4:
                     wt = _conv_to_hwio(w)
                 elif w.ndim == 2 and name in fc_after_pool:

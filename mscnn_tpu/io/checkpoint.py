@@ -87,17 +87,31 @@ def restore(path: str, template_state):
         return ckptr.restore(os.path.abspath(path), template_state)
 
 
+def _warn_mismatched(path: str, report: dict) -> None:
+    """Surface shape-mismatched layers (which keep their template values —
+    CopyTrainedLayersFrom semantics) instead of silently dropping the
+    report: a layer left at random init is almost always a bug upstream."""
+    if report.get("mismatched"):
+        import warnings
+        warnings.warn(
+            f"{path}: {len(report['mismatched'])} layer(s) kept their "
+            f"template values (shape/layout mismatch): "
+            f"{report['mismatched']}")
+
+
 def restore_params(path: str, template_params):
     """Restore only the params subtree of a snapshot (for eval/deploy).
     `.caffemodel` paths (ours or the reference's) dispatch to the wire
     importer; anything else is treated as an orbax train-state dir."""
     if path.endswith(".caffemodel"):
         from mscnn_tpu.io import caffemodel as CM
-        out, _ = CM.load_caffemodel_params(path, template_params)
+        out, report = CM.load_caffemodel_params(path, template_params)
+        _warn_mismatched(path, report)
         return out
     if path.endswith((".h5", ".hdf5")):
         from mscnn_tpu.io import hdf5_snapshot as H5
-        out, _ = H5.load_hdf5_weights(path, template_params)
+        out, report = H5.load_hdf5_weights(path, template_params)
+        _warn_mismatched(path, report)
         return out
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         restored = ckptr.restore(os.path.abspath(path))

@@ -74,8 +74,7 @@ def load_hdf5_weights(path: str, params, *,
                 if "w" in p:
                     target = np.asarray(p["w"])
                     if w.ndim == 4 and name in deconv_names:
-                        wt = CM._deconv_to_depthwise(w) if w.shape[1] == 1 \
-                            else CM._deconv_dense_to_hwio(w)
+                        wt = CM._deconv_import(w, target.shape)
                     elif w.ndim == 4:
                         wt = CM._conv_to_hwio(w)
                     elif w.ndim == 2 and name in fc_after_pool:
@@ -156,7 +155,7 @@ def load_hdf5_solverstate(path: str, state_template, *,
             w = hist.pop(0)
             target = np.asarray(p["w"])
             if w.ndim == 4 and name in deconv_names:
-                wt = CM._deconv_to_depthwise(w)
+                wt = CM._deconv_import(w, target.shape)
             elif w.ndim == 4:
                 wt = CM._conv_to_hwio(w)
             elif w.ndim == 2 and name in fc_after_pool:

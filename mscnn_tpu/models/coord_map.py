@@ -133,6 +133,18 @@ def _walkable_bottoms(fn: netspec.Function):
     return fn.inputs
 
 
+def layer_down_map(fn: netspec.Function):
+    """The (axis, scale, shift) down-map of one layer: coordinates on its
+    input grid = scale * output coords + shift.  Raises
+    UndefinedMapException for layer types without grid semantics — the
+    per-layer entry point pycaffe exposes as coord_map(fn) (different
+    convention there: its tuple is the inverse direction)."""
+    rule = _DOWN_MAPS.get(fn.type_name)
+    if rule is None:
+        raise UndefinedMapException(fn.type_name)
+    return rule(fn)
+
+
 def _ancestor_grids(top: netspec.Top):
     """Map every grid-reachable ancestor blob b to (axis, S, T) with
     coord_b = S * coord_top + T."""
@@ -140,10 +152,10 @@ def _ancestor_grids(top: netspec.Top):
     pending = deque([top])
     while pending:
         blob = pending.popleft()
-        rule = _DOWN_MAPS.get(blob.fn.type_name)
-        if rule is None:
+        try:
+            step_axis, s, t = layer_down_map(blob.fn)
+        except UndefinedMapException:
             continue  # opaque layer: the grid chain stops here
-        step_axis, s, t = rule(blob.fn)
         axis, S, T = grids[blob]
         joined = _join_axes(axis, step_axis)
         for bottom in _walkable_bottoms(blob.fn):

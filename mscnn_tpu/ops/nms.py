@@ -71,7 +71,13 @@ def _pallas_supported() -> bool:
                 jax.ShapeDtypeStruct((256,), jnp.bool_),
             ).compile()
             _PALLAS_PROBE["ok"] = True
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — any failure means fallback
+            import warnings
+            warnings.warn(
+                f"Pallas NMS probe failed ({type(e).__name__}: "
+                f"{str(e)[:120]}); falling back to the jnp scan NMS for "
+                f"this process. Clear mscnn_tpu.ops.nms._PALLAS_PROBE to "
+                f"re-probe, or pass use_pallas explicitly.")
             _PALLAS_PROBE["ok"] = False
     return _PALLAS_PROBE["ok"]
 

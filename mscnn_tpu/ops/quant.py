@@ -129,7 +129,7 @@ def _input_blob(layer: str, cfg) -> str:
     return wiring[layer]
 
 
-def quantize_trunk(params, cfg, act_scales: Dict[str, float]):
+def quantize_trunk(params, act_scales: Dict[str, float]):
     """Augment a params pytree with int8 leaves for the calibrated trunk
     convs: params[name] gains "w_q" (int8), "w_s" ([out] f32), "x_s"
     ([] f32).  The original "w" stays (oracle + export).  Layers without a

@@ -182,6 +182,24 @@ def loss_fn(params, batch, key, cfg: M.MSCNNConfig, tspec: TrainSpec):
     return total, metrics
 
 
+def prune_frozen_params(params, lr_mults):
+    """stop_gradient every param whose lr_mult is 0 — the autodiff-side
+    half of Caffe's backward-need pruning (net.cpp:191-247). Must be
+    applied INSIDE the differentiated objective (grad of the stopped value
+    is an exact zero, and XLA drops the dead backward chain). Leaves
+    without a recorded mult stay trainable."""
+    def maybe_stop(path, leaf):
+        mult = lr_mults
+        try:
+            for entry in path:
+                mult = mult[entry.key]
+        except (KeyError, TypeError):
+            return leaf
+        return jax.lax.stop_gradient(leaf) if mult == 0.0 else leaf
+
+    return jax.tree_util.tree_map_with_path(maybe_stop, params)
+
+
 def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
                     lr_mults=None, decay_mults=None,
                     mesh: Optional[Mesh] = None, donate: bool = True,
@@ -206,23 +224,11 @@ def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
     # grads are exact zeros for frozen leaves, which is also what the
     # reference's pruned layers report.
     if lr_mults is not None:
-        def _prune_frozen(params):
-            def maybe_stop(path, leaf):
-                mult = lr_mults
-                try:
-                    for entry in path:
-                        mult = mult[entry.key]
-                except (KeyError, TypeError):
-                    return leaf   # no mult recorded -> trainable
-                return jax.lax.stop_gradient(leaf) if mult == 0.0 else leaf
-
-            return jax.tree_util.tree_map_with_path(maybe_stop, params)
-
         base_objective = objective
 
         def objective(params, batch, key, cfg, tspec):  # noqa: F811
-            return base_objective(_prune_frozen(params), batch, key, cfg,
-                                  tspec)
+            return base_objective(prune_frozen_params(params, lr_mults),
+                                  batch, key, cfg, tspec)
 
     def grads_and_metrics(params, batch, key):
         if sspec.iter_size > 1:

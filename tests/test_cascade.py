@@ -238,7 +238,7 @@ def test_cascade_kitti_txt_golden(tmp_path):
     test_golden_inference's fixture; reference flow run_cascademscnn.m).
 
     Regenerate the asset (only after an INTENDED semantic change) with:
-      python tests/test_cascade.py --regen-golden
+      MSCNN_REGEN_GOLDEN=1 pytest tests/test_cascade.py -k kitti_txt_golden
     """
     import os
     from mscnn_tpu import inference as I

@@ -51,7 +51,7 @@ def test_calibrate_and_quantize_trunk(rng):
 
     scales = Q.calibrate_trunk_scales(params, cfg, imgs)
     assert scales and all(s > 0 for s in scales.values())
-    qparams = Q.quantize_trunk(params, cfg, scales)
+    qparams = Q.quantize_trunk(params, scales)
     some = [n for n in Q.TRUNK_INT8 if n in scales]
     assert some
     for n in some:
@@ -83,7 +83,7 @@ def test_int8_deploy_detections_match_float(rng):
     net_h, net_w = cfg.input_hw
     calib = np.stack([cv2.resize(calib[0], (net_w, net_h))])
     scales = Q.calibrate_trunk_scales(params, cfg, calib)
-    qparams = Q.quantize_trunk(params, cfg, scales)
+    qparams = Q.quantize_trunk(params, scales)
     qcfg = dataclasses.replace(cfg, int8_trunk=True)
     got = I.detect(qparams, img, qcfg, spec)
 

@@ -138,10 +138,8 @@ def test_frozen_backward_pruning_equivalent_and_cheaper(tiny):
 
     def pruned_grad(p, bt, k):
         def obj(pp):
-            frozen = jax.tree_util.tree_map_with_path(
-                lambda path, leaf: jax.lax.stop_gradient(leaf)
-                if lr_mults[path[0].key][path[1].key] == 0.0 else leaf, pp)
-            return T.loss_fn(frozen, bt, k, cfg, tspec)[0]
+            return T.loss_fn(T.prune_frozen_params(pp, lr_mults),
+                             bt, k, cfg, tspec)[0]
         return jax.grad(obj)(p)
 
     def full_grad(p, bt, k):
