@@ -49,8 +49,14 @@ def bench_deploy(cfg) -> float:
         calib = _np.random.RandomState(0).randn(1, h, w, 3).astype(
             _np.float32) * 40.0
         fcfg = dataclasses.replace(cfg, int8_trunk=False)
+        # the conv1 pair quantizes too on the plain-conv path (default;
+        # MSCNN_INT8_CONV1=0 for the bf16-conv1 control) — BENCH.md r3:
+        # 55.3 -> 57.8 img/s over plain bf16 conv1
+        inc_c1 = (os.environ.get("MSCNN_INT8_CONV1", "1") not in ("0", "")
+                  and not (cfg.pallas_conv1 or cfg.s2d_conv1))
         params = Q.quantize_trunk(
-            params, Q.calibrate_trunk_scales(params, fcfg, calib))
+            params, Q.calibrate_trunk_scales(params, fcfg, calib,
+                                             include_conv1=inc_c1))
     images = jnp.zeros((batch, h, w, 3), jnp.float32)
 
     fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))
@@ -176,16 +182,19 @@ def main():
     train_cfg = zoo.kitti_car_8s_768(deploy=False)
     train_cfg = dataclasses.replace(train_cfg, compute_dtype="bfloat16")
 
-    # conv1 strategy (BENCH.md A/B protocol): pallas (default; fused
-    # conv1_1+conv1_2+pool1 kernel, +5% deploy) | plain | s2d
-    conv1 = os.environ.get("MSCNN_CONV1", "pallas")
+    # int8 deploy trunk (MSCNN_INT8=0 for the bf16 control): calibrated
+    # PTQ on conv1..conv6 (ops/quant.py); training stays bf16
+    int8 = os.environ.get("MSCNN_INT8", "1") not in ("0", "false")
+    if int8:
+        deploy_cfg = dataclasses.replace(deploy_cfg, int8_trunk=True)
+    # conv1 strategy (BENCH.md A/B protocol): plain | pallas (fused
+    # conv1_1+conv1_2+pool1 bf16 kernel) | s2d.  Default: plain when the
+    # int8 trunk is on (int8 conv1 beats the bf16 kernel, r3: 57.8 vs
+    # 52.7 img/s at b4), the fused Pallas kernel for the bf16 control.
+    conv1 = os.environ.get("MSCNN_CONV1", "plain" if int8 else "pallas")
     flags = {"s2d_conv1": conv1 == "s2d", "pallas_conv1": conv1 == "pallas"}
     deploy_cfg = dataclasses.replace(deploy_cfg, **flags)
     train_cfg = dataclasses.replace(train_cfg, **flags)
-    # int8 deploy trunk (MSCNN_INT8=0 for the bf16 control): calibrated
-    # PTQ on conv2..conv6 (ops/quant.py); training stays bf16
-    if os.environ.get("MSCNN_INT8", "1") not in ("0", "false"):
-        deploy_cfg = dataclasses.replace(deploy_cfg, int8_trunk=True)
 
     img_per_sec = bench_deploy(deploy_cfg)
     train_ips = bench_train(train_cfg)

@@ -99,7 +99,8 @@ for d in range(3):
 from mscnn_tpu.ops import quant as Q
 calib_imgs = np.stack([sample_scene(np.random.RandomState(7))[0]
                        for _ in range(4)])
-scales = Q.calibrate_trunk_scales(state["params"], dcfg, calib_imgs)
+scales = Q.calibrate_trunk_scales(state["params"], dcfg, calib_imgs,
+                                  include_conv1=True)
 qparams = Q.quantize_trunk(state["params"], scales)
 qcfg = dataclasses.replace(dcfg, int8_trunk=True)
 qfwd = I.make_forward(qparams, qcfg)

@@ -24,13 +24,16 @@ import numpy as np
 def _apply_conv1(cfg, args):
     """Resolve the --conv1 strategy flag onto a config. auto = the fused
     Pallas kernel on TPU at bf16 (BENCH.md: +5% deploy, train-neutral),
-    else the exact-oracle plain path. The Pallas kernel computes in bf16,
-    so an explicit 'pallas' at f32 compute is rejected rather than
-    silently degrading precision."""
+    EXCEPT when the int8 trunk is requested: there the plain path wins
+    (the conv1 pair quantizes with the rest of the trunk; BENCH.md r3).
+    The Pallas kernel computes in bf16, so an explicit 'pallas' at f32
+    compute is rejected rather than silently degrading precision."""
     conv1 = getattr(args, "conv1", "auto") or "auto"
     if conv1 == "auto":
         conv1 = "pallas" if (jax.default_backend() == "tpu"
-                             and cfg.compute_dtype == "bfloat16") else "plain"
+                             and cfg.compute_dtype == "bfloat16"
+                             and not getattr(args, "int8", False)) \
+            else "plain"
     elif conv1 == "pallas" and cfg.compute_dtype != "bfloat16":
         raise SystemExit("--conv1 pallas requires --bf16 (the fused "
                          "kernel computes in bfloat16)")
@@ -401,7 +404,9 @@ def cmd_detect(args):
         if not cals:
             print("no readable calibration images")
             return 1
-        scales = Q.calibrate_trunk_scales(params, cfg, _np.stack(cals))
+        scales = Q.calibrate_trunk_scales(
+            params, cfg, _np.stack(cals),
+            include_conv1=not (cfg.pallas_conv1 or cfg.s2d_conv1))
         params = Q.quantize_trunk(params, scales)
         cfg = dataclasses.replace(cfg, int8_trunk=True)
         print(f"int8 trunk: calibrated {len(scales)} layers from "

@@ -12,10 +12,14 @@ Scheme (the standard TPU-friendly PTQ recipe):
     x_q         = round(clip(x / x_s)),        x_s = calibrated max|x|/127
     y           = conv_int8(x_q, w_q) * (x_s * w_s) + b
 
-Only the trunk convolutions quantize (conv2..conv6, loss1_conv1 — where
-the deploy FLOPs live); conv1 keeps the fused bf16 Pallas kernel (3/64-ch
-full-res work is bandwidth-limited, not MXU-limited), and the proposal
-heads / ROI stage stay bf16 for accuracy.  v5e int8 MXU peak is 2x bf16.
+Only the trunk convolutions quantize (conv1..conv6, loss1_conv1 — where
+the deploy FLOPs live); the proposal heads / ROI stage stay bf16 for
+accuracy.  v5e int8 MXU peak is 2x bf16.  The conv1 pair participates via
+calibrate_trunk_scales(include_conv1=True) on the plain-conv path (the
+deploy default since r3: its full-res int8 halves the dominant HBM
+traffic, 55.3 -> 57.8 img/s over plain bf16 conv1 and beats the fused
+bf16 Pallas kernel's 52.7); the Pallas/s2d conv1 paths are bf16-only and
+ignore the int8 leaves.
 
 Scales travel INSIDE the params pytree (extra "w_q"/"w_s"/"x_s" leaves per
 quantized layer) so a calibrated model round-trips through jit without
@@ -45,6 +49,13 @@ TRUNK_INT8 = (
     "conv6_1", "loss1_conv1",
     "rpn_3_conv", "rpn_4_conv",
 )
+
+# The conv1 pair is opt-in (calibrate_trunk_scales(include_conv1=True)):
+# on the plain-conv path its full-res int8 halves the dominant HBM
+# traffic; the fused Pallas kernel path ignores these leaves (bf16-only).
+# conv1_1 reads the mean-subtracted input image, whose range is that of
+# 8-bit pixels — per-tensor int8 there loses essentially nothing.
+CONV1_INT8 = ("conv1_1", "conv1_2")
 
 
 def quantize_weight(w) -> tuple:
@@ -86,29 +97,39 @@ def conv2d_int8(x, x_scale, w_q, w_s, b=None, *, stride: int = 1,
     return y.astype(out_dtype)
 
 
-def calibrate_trunk_scales(params, cfg, images,
-                           percentile: float = 99.9) -> Dict[str, float]:
+def calibrate_trunk_scales(params, cfg, images, percentile: float = 99.9,
+                           include_conv1: bool = False) -> Dict[str, float]:
     """Per-layer activation scales from representative images.
 
     Runs the float trunk capturing each quantizable conv's INPUT blob and
     returns {layer: max-abs-based scale}.  `percentile` clips outliers
     (100 = plain max-abs).  images: [N, H, W, 3] mean-subtracted, any
     batch split; a handful of batches suffices for max-abs statistics.
+    `include_conv1` also calibrates the conv1 pair (for plain-conv deploy;
+    the float pass is forced onto the plain path so conv1_1 is observable).
     """
+    import dataclasses
+
     from mscnn_tpu.models import mscnn as M
+
+    names = TRUNK_INT8 + (CONV1_INT8 if include_conv1 else ())
+    if include_conv1 and (cfg.pallas_conv1 or cfg.s2d_conv1):
+        cfg = dataclasses.replace(cfg, pallas_conv1=False, s2d_conv1=False)
 
     feats_fn = jax.jit(lambda p, x: M.trunk(p, x, cfg))
     maxima: Dict[str, float] = {}
     images = np.asarray(images)
     for i in range(images.shape[0]):
-        feats = jax.device_get(feats_fn(params, images[i: i + 1]))
-        for name in TRUNK_INT8:
+        img = images[i: i + 1]
+        feats = jax.device_get(feats_fn(params, img))
+        for name in names:
             if name not in params:
                 continue
             src = _input_blob(name, cfg)
-            if src not in feats:
+            a = img if src == "__input__" else feats.get(src)
+            if a is None:
                 continue
-            a = np.abs(np.asarray(feats[src], np.float32)).reshape(-1)
+            a = np.abs(np.asarray(a, np.float32)).reshape(-1)
             m = float(np.percentile(a, percentile)) if percentile < 100 \
                 else float(a.max())
             maxima[name] = max(maxima.get(name, 0.0), m)
@@ -119,6 +140,7 @@ def _input_blob(layer: str, cfg) -> str:
     """Which trunk feature map feeds `layer` (models/mscnn.py trunk
     wiring)."""
     wiring = {
+        "conv1_1": "__input__", "conv1_2": "conv1_1",
         "conv2_1": "pool1", "conv2_2": "conv2_1",
         "conv3_1": "pool2", "conv3_2": "conv3_1", "conv3_3": "conv3_2",
         "conv4_1": "pool3", "conv4_2": "conv4_1", "conv4_3": "conv4_2",
@@ -136,7 +158,8 @@ def quantize_trunk(params, act_scales: Dict[str, float]):
     calibrated scale are left untouched (they run the float path)."""
     out = {}
     for name, p in params.items():
-        if name in act_scales and name in TRUNK_INT8 and "w" in p:
+        if name in act_scales and "w" in p \
+                and name in TRUNK_INT8 + CONV1_INT8:
             w_q, w_s = quantize_weight(p["w"])
             p = dict(p)
             p["w_q"] = w_q

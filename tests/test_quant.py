@@ -57,8 +57,46 @@ def test_calibrate_and_quantize_trunk(rng):
     for n in some:
         assert qparams[n]["w_q"].dtype == jnp.int8
         assert qparams[n]["w_s"].shape == (params[n]["w"].shape[-1],)
-    # non-calibrated layers untouched
+    # non-calibrated layers untouched (conv1 is opt-in)
     assert "w_q" not in qparams["conv1_1"]
+
+    s1 = Q.calibrate_trunk_scales(params, cfg, imgs, include_conv1=True)
+    assert set(s1) - set(scales) == set(Q.CONV1_INT8)
+    q1 = Q.quantize_trunk(params, s1)
+    assert q1["conv1_1"]["w_q"].dtype == jnp.int8
+    assert q1["conv1_2"]["w_q"].dtype == jnp.int8
+
+
+def test_int8_conv1_trunk_agreement():
+    """The deploy default since r3 quantizes the conv1 pair too (plain
+    path): trunk features must stay close to the float oracle.  conv1_1
+    reads the mean-subtracted image (8-bit pixel range), so its int8
+    quantization is near-lossless by construction.  (Own RandomState:
+    the module `rng` fixture's stream is position-sensitive for the
+    detection-agreement test below.)"""
+    import dataclasses
+
+    cfg = zoo.tiny_test_config(deploy=True)
+    params = M.init_params(jax.random.key(3), cfg)
+    imgs = np.random.RandomState(5).randn(
+        1, *cfg.input_hw, 3).astype(np.float32) * 40.0
+
+    scales = Q.calibrate_trunk_scales(params, cfg, imgs, include_conv1=True)
+    qparams = Q.quantize_trunk(params, scales)
+    qcfg = dataclasses.replace(cfg, int8_trunk=True)
+
+    x = jnp.asarray(imgs, cfg.cdtype())
+    f32 = M.trunk(params, x, cfg)
+    fq = M.trunk(qparams, x, qcfg)
+    # random-init bounds; error accumulates with depth (cf. the
+    # conv2..conv6-only gate in test_int8_deploy_detections_match_float —
+    # including conv1 adds two more quantized layers up front)
+    for blob, bound in (("conv1_2", 0.03), ("conv3_3", 0.06),
+                        ("conv5_3", 0.10)):
+        a = np.asarray(f32[blob], np.float32)
+        b = np.asarray(fq[blob], np.float32)
+        rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
+        assert rel < bound, f"{blob} rel err {rel}"
 
 
 def test_int8_deploy_detections_match_float(rng):
