@@ -126,11 +126,14 @@ def chain_time(make_f, x, args=(), n_lo: int = 6, n_hi: int = 26,
     (~25 ms RTT, execution caching) cannot contaminate the number.
     Per-iter time = slope between the N=n_lo and N=n_hi programs.
 
-    Scope: validated for single-op / small-block subgraphs (BENCH.md conv1
-    tables). At whole-model scale the scalar fold-back underestimates —
-    XLA dead-code-eliminates everything not feeding the folded leaf across
-    iterations (a full trunk measured 0.81 ms, >peak-FLOP impossible). Use
-    pipelined-dispatch timing (`mscnn time --stages`, bench.py) there."""
+    Scope: validated for PALLAS single-op subgraphs only (BENCH.md conv1
+    tables) — XLA cannot look inside a pallas_call, so the folded scalar
+    forces the whole kernel.  For plain XLA ops it UNDERESTIMATES: XLA
+    narrows the op to the one sliced element (a conv probed this way reads
+    ~0 ms), and at whole-model scale it DCEs everything off the folded
+    path (a full trunk measured 0.81 ms, >peak-FLOP impossible).  Use
+    chain_time_full for plain ops and pipelined-dispatch timing
+    (`mscnn time --stages`, bench.py) for whole graphs."""
     import jax.lax as lax
     import jax.numpy as jnp
 
@@ -139,6 +142,43 @@ def chain_time(make_f, x, args=(), n_lo: int = 6, n_hi: int = 26,
             y = make_f(xc, *args)
             leaf = jax.tree.leaves(y)[0]
             upd = (leaf.reshape(-1)[0] * 1e-20).astype(xc.dtype)
+            return xc.at[(0,) * xc.ndim].add(upd)
+
+        return jax.jit(lambda xv: lax.fori_loop(0, n, body, xv))
+
+    f_lo, f_hi = looped(n_lo), looped(n_hi)
+    jax.block_until_ready(f_lo(x))
+    jax.block_until_ready(f_hi(x))
+
+    def t(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (t(f_hi) - t(f_lo)) / (n_hi - n_lo) * 1e3
+
+
+def chain_time_full(make_f, x, args=(), n_lo: int = 10, n_hi: int = 60,
+                    reps: int = 5) -> float:
+    """chain_time for plain (non-Pallas) XLA ops: folds back a MAX
+    reduction of the FULL output instead of one element, so XLA cannot
+    narrow the op to a single sliced value (max has no algebraic
+    shortcut through a conv/dot).  Same loop-slope protocol; the extra
+    VPU reduce per iteration is noise next to an MXU op.  Scope remains
+    single-op / small-block — whole-model graphs still need pipelined
+    dispatch (bench.py)."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    def looped(n):
+        def body(i, xc):
+            y = make_f(xc, *args)
+            leaf = jax.tree.leaves(y)[0]
+            upd = (jnp.max(leaf).astype(jnp.float32) * 1e-20).astype(
+                xc.dtype)
             return xc.at[(0,) * xc.ndim].add(upd)
 
         return jax.jit(lambda xv: lax.fori_loop(0, n, body, xv))

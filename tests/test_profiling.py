@@ -25,6 +25,16 @@ def test_chain_time_runs():
     assert np.isfinite(ms)  # slope can be ~0 on fast CPUs; just finite
 
 
+def test_chain_time_full_runs():
+    """Max-fold-back variant (plain XLA ops — the scalar fold-back lets
+    XLA slice a conv to one element; BENCH.md r3)."""
+    x = jnp.ones((8, 8), jnp.float32)
+    w = jnp.ones((8, 8), jnp.float32) * 0.01
+    ms = P.chain_time_full(lambda x, w: jnp.tanh(x @ w), x, (w,),
+                           n_lo=2, n_hi=6, reps=2)
+    assert np.isfinite(ms)
+
+
 def test_cost_flops_matmul():
     """XLA cost analysis counts ~2*M*N*K for a matmul."""
     a = jnp.ones((64, 128), jnp.float32)
