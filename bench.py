@@ -216,4 +216,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # The tunneled chip occasionally wedges transiently (backend
+        # FailedPrecondition on every call; recovers in ~1-2 min —
+        # BENCH.md r3). Re-exec in a fresh process (the jax backend
+        # handle in this one stays poisoned) up to twice, then give up.
+        import sys
+
+        n = int(os.environ.get("MSCNN_BENCH_RETRY", "0"))
+        if n >= 2:
+            raise
+        print(f"bench attempt {n + 1} failed ({type(e).__name__}: {e}); "
+              "retrying in 120 s", file=sys.stderr)
+        time.sleep(120)
+        os.environ["MSCNN_BENCH_RETRY"] = str(n + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
