@@ -175,6 +175,15 @@ def _resolve_python_layer(layer_msg) -> object:
     return cls(str(pp.get("param_str", "")))
 
 
+# Caffe blob order -> our param-dict keys, per shareable layer type
+# (caffe.proto ParamSpec.name applies to the i-th blob of the layer).
+_SHARE_KEYS = {
+    "Convolution": ("w", "b"), "Deconvolution": ("w", "b"),
+    "InnerProduct": ("w", "b"), "Scale": ("w", "b"),
+    "PReLU": ("slope",), "Bias": ("b",), "BatchNorm": ("mean", "var"),
+}
+
+
 class Net:
     """Executable net from a NetParameter (text prototxt)."""
 
@@ -197,6 +206,36 @@ class Net:
         self.input_shapes = dict(input_shapes or {})
         # name -> user PythonLayer instance (populated by init())
         self._python_layers: Dict[str, object] = {}
+        # Cross-layer parameter sharing via `param { name: "..." }`
+        # (reference net.cpp:449-501 AppendParam; the first layer naming a
+        # param owns it, later layers share the SAME blob — siamese nets).
+        # Here the shared leaf lives ONCE in the params pytree (under the
+        # owner layer) and non-owners resolve to it at apply time, so
+        # autodiff accumulates both uses' gradients into the single leaf
+        # and the solver updates it once — exactly the reference's
+        # accumulate-then-update-owner behavior (net.cpp:956).
+        # _share_owner: non-owner layer -> {local key: (owner layer, key)}
+        self._share_owner: Dict[str, Dict[str, tuple]] = {}
+        owners: Dict[str, tuple] = {}
+        for layer in self.layers:
+            specs = [s for s in PB.as_list(layer.get("param"))
+                     if isinstance(s, dict)]
+            ltype = str(layer.get("type"))
+            lname = str(layer.get("name"))
+            for i, spec in enumerate(specs):
+                pname = spec.get("name")
+                if not pname:
+                    continue
+                keys = _SHARE_KEYS.get(ltype)
+                if keys is None or i >= len(keys):
+                    raise ValueError(
+                        f"param name sharing is not supported for blob "
+                        f"{i} of layer type {ltype!r} (layer {lname!r})")
+                if str(pname) in owners:
+                    self._share_owner.setdefault(lname, {})[keys[i]] = \
+                        owners[str(pname)]
+                else:
+                    owners[str(pname)] = (lname, keys[i])
 
     def inputs(self) -> Dict[str, tuple]:
         """Input blob name -> NHWC shape (explicit input_shapes override
@@ -402,8 +441,38 @@ class Net:
                 for t in tops:
                     shapes[t] = in_shape
         self.shapes = shapes
+        # Shared params live once, under the owner layer: drop the
+        # non-owner's freshly initialized copy after a shape check
+        # (strict sharing, the reference's default — net.cpp:466-501).
+        for lname, amap in self._share_owner.items():
+            for k, (oname, ok) in amap.items():
+                mine = params.get(lname, {}).get(k)
+                owner = params.get(oname, {}).get(ok)
+                if mine is not None and owner is not None \
+                        and mine.shape != owner.shape:
+                    raise ValueError(
+                        f"shared param: layer {lname!r} blob {k!r} shape "
+                        f"{mine.shape} != owner {oname!r}.{ok} "
+                        f"{owner.shape}")
+                if lname in params and k in params[lname]:
+                    del params[lname][k]
         return {k: {kk: vv for kk, vv in v.items() if vv is not None}
                 for k, v in params.items()}
+
+    def layer_params(self, params: dict, name: str) -> dict:
+        """The params dict layer `name` computes with: its own leaves plus
+        any `param {name}`-shared leaves resolved from their owner layer
+        (net.cpp:487-499 ownership semantics)."""
+        p = params.get(name, {})
+        amap = self._share_owner.get(name)
+        if not amap:
+            return p
+        p = dict(p)
+        for k, (oname, ok) in amap.items():
+            v = params.get(oname, {}).get(ok)
+            if v is not None:
+                p[k] = v
+        return p
 
     # -- forward --------------------------------------------------------------
 
@@ -449,19 +518,19 @@ class Net:
             return [], 0.0
         if ltype == "Convolution":
             cp = layer.get("convolution_param", {})
-            p = params[name]
+            p = self.layer_params(params, name)
             out = C.conv2d(bots[0], p["w"], p.get("b"),
                            stride=int(cp.get("stride", 1)),
                            padding=int(cp.get("pad", 0)))
         elif ltype == "Deconvolution":
             cp = layer.get("convolution_param", {})
-            p = params[name]
+            p = self.layer_params(params, name)
             out = C.deconv2d(bots[0], p["w"], p.get("b"),
                              stride=int(cp.get("stride", 1)),
                              pad=int(cp.get("pad", 0)),
                              groups=int(cp.get("group", 1)))
         elif ltype == "InnerProduct":
-            p = params[name]
+            p = self.layer_params(params, name)
             x = bots[0].reshape(bots[0].shape[0], -1)
             out = C.dense(x, p["w"], p.get("b"))
         elif ltype == "Pooling":
@@ -499,16 +568,16 @@ class Net:
         elif ltype == "Flatten":
             out = LY.flatten(bots[0])
         elif ltype == "Scale":
-            p = params[name]
+            p = self.layer_params(params, name)
             out = LY.scale(bots[0], p["w"], p.get("b"))
         elif ltype == "PReLU":
             pp = layer.get("prelu_param", {})
-            out = LY.prelu(bots[0], params[name]["slope"],
+            out = LY.prelu(bots[0], self.layer_params(params, name)["slope"],
                            bool(pp.get("channel_shared", False)))
         elif ltype == "BatchNorm":
             bp = layer.get("batch_norm_param", {})
             use_global = bool(bp.get("use_global_stats", not train))
-            p = params[name]
+            p = self.layer_params(params, name)
             # batch-stats mode is a pure fn here: the running-average
             # update is the train loop's job (the reference's
             # moving_average_fraction handling)
@@ -517,7 +586,7 @@ class Net:
                 eps=float(bp.get("eps", 1e-5)),
                 use_global_stats=use_global)
         elif ltype == "Bias":
-            b = params[name]["b"] if len(bots) == 1 else bots[1]
+            b = self.layer_params(params, name)["b"] if len(bots) == 1 else bots[1]
             out = LY.bias(bots[0], b)
         elif ltype == "MVN":
             mp = layer.get("mvn_param", {})

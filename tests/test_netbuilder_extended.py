@@ -268,3 +268,66 @@ def test_python_layer_unresolvable_raises():
             'python_param { module: "no_such_mod_xyz" layer: "Nope" } }')
     with pytest.raises(ValueError, match="neither registered"):
         Net(text).init(jax.random.key(0))
+
+
+def _siamese_spec(k2=3):
+    """Two conv branches over two inputs sharing weights via param{name}
+    (reference net.cpp:449-501 AppendParam / examples/siamese)."""
+    n = netspec.NetSpec()
+    n.a = L.Input(input_param=dict(shape=dict(dim=[1, 3, 8, 8])))
+    n.b = L.Input(input_param=dict(shape=dict(dim=[1, 3, 8, 8])))
+    shared = [dict(name="feat_w", lr_mult=1), dict(name="feat_b", lr_mult=2)]
+    n.fa = L.Convolution(n.a, param=shared, convolution_param=dict(
+        num_output=4, kernel_size=3, pad=1,
+        weight_filler=dict(type="xavier")))
+    n.fb = L.Convolution(n.b, param=shared, convolution_param=dict(
+        num_output=4, kernel_size=k2, pad=k2 // 2,
+        weight_filler=dict(type="xavier")))
+    return n
+
+
+def test_param_sharing_siamese():
+    net = build(_siamese_spec())
+    params = net.init(jax.random.key(0))
+    # the shared blobs live ONCE, under the owner layer
+    assert "w" in params["fa"] and "b" in params["fa"]
+    assert "w" not in params.get("fb", {}) and "b" not in params.get("fb", {})
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 3),
+                    jnp.float32)
+    blobs = net.apply(params, {"a": x, "b": x})
+    # same weights + same input => identical branch outputs
+    np.testing.assert_allclose(np.asarray(blobs["fa"]),
+                               np.asarray(blobs["fb"]), rtol=1e-6)
+
+    # gradient accumulates BOTH uses into the single owner leaf
+    # (net.cpp:956 accumulate-then-update semantics)
+    def s_all(p):
+        bl = net.apply(p, {"a": x, "b": 2.0 * x})
+        return (bl["fa"] ** 2).sum() + (bl["fb"] ** 2).sum()
+
+    def s_fa(p):
+        return (net.apply(p, {"a": x, "b": 2.0 * x})["fa"] ** 2).sum()
+
+    def s_fb(p):
+        return (net.apply(p, {"a": x, "b": 2.0 * x})["fb"] ** 2).sum()
+
+    g_all = jax.grad(s_all)(params)["fa"]["w"]
+    g_sum = jax.grad(s_fa)(params)["fa"]["w"] \
+        + jax.grad(s_fb)(params)["fa"]["w"]
+    np.testing.assert_allclose(np.asarray(g_all), np.asarray(g_sum),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_param_sharing_shape_mismatch_raises():
+    net = build(_siamese_spec(k2=5))   # owner 3x3 vs sharer 5x5
+    with pytest.raises(ValueError, match="shared param"):
+        net.init(jax.random.key(0))
+
+
+def test_param_sharing_unsupported_type_raises():
+    n = data_spec([1, 3, 4, 4])
+    n.p = L.Pooling(n.data, param=[dict(name="nope")],
+                    pooling_param=dict(kernel_size=2, stride=2))
+    with pytest.raises(ValueError, match="not supported"):
+        build(n)
