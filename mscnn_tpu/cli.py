@@ -46,6 +46,43 @@ def _cascade_objective(params, batch, key, cfg, tspec, *, ccfg, roi_batch):
     return CC.loss_fn(params, batch, key, ccfg, tspec, roi_batch=roi_batch)
 
 
+class _PlainSource:
+    """Context-manager adapter matching the prefetcher interface
+    (`with make_batch_source() as src: src.get()`)."""
+
+    def __init__(self, fn):
+        self.get = fn
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _build_generic_training(args, fields, net_path, sspec, lspec):
+    """Generic (non-MSCNN) prototxt training via train/generic.py.
+
+    Returns the _build_training tuple with cfg=None (the generic marker)
+    and the netbuilder Net in the tspec slot (cmd_test builds its eval
+    step from it)."""
+    from mscnn_tpu.io import checkpoint as CKPT
+    from mscnn_tpu.train import generic as G
+
+    if args.devices > 1:
+        raise SystemExit("--devices > 1 is not supported for generic "
+                         "(non-MSCNN) prototxt nets yet")
+    phase = getattr(args, "phase", "TRAIN") or "TRAIN"
+    state, step, batch_source, net = G.setup(
+        net_path, sspec, phase=phase,
+        seed=int(fields.get("random_seed", 0)),
+        weights=args.weights or None)
+    if args.snapshot:
+        state = CKPT.restore(args.snapshot, state)
+    return (state, step, lambda: _PlainSource(batch_source), lspec,
+            None, net, None)
+
+
 def _build_training(args, solver_path):
     from mscnn_tpu.config import zoo_import as Z
     from mscnn_tpu.config import prototxt as PB
@@ -74,8 +111,16 @@ def _build_training(args, solver_path):
         loss_function = functools.partial(
             _cascade_objective, ccfg=ccfg, roi_batch=tspec.roi_batch)
     else:
-        cfg, tspec, aug, dspec, source = Z.model_from_prototxt(
-            net_path, phase=getattr(args, "phase", "TRAIN"))
+        try:
+            cfg, tspec, aug, dspec, source = Z.model_from_prototxt(
+                net_path, phase=getattr(args, "phase", "TRAIN"))
+        except ValueError as e:
+            if "ImageGtData" not in str(e):
+                raise
+            # not an MS-CNN net: generic-prototxt training (caffe train
+            # accepts any NetParameter, tools/caffe.cpp:103-233)
+            return _build_generic_training(args, fields, net_path,
+                                           sspec, lspec)
     if args.batch_size:
         dspec = dataclasses.replace(dspec, batch_size=args.batch_size)
     if args.bf16:
@@ -181,7 +226,11 @@ def cmd_test(args):
 
     state, _, make_batch_source, lspec, cfg, tspec, mesh = \
         _build_training(args, args.solver)
-    eval_step = T.make_eval_step(cfg, tspec, mesh=mesh)
+    if cfg is None:  # generic prototxt: tspec slot carries the Net
+        from mscnn_tpu.train import generic as G
+        eval_step = G.make_eval_step(tspec)
+    else:
+        eval_step = T.make_eval_step(cfg, tspec, mesh=mesh)
     n = args.iterations or lspec.test_iter or 50
     with make_batch_source() as src:
         out = LP.test_eval(eval_step, state["params"],

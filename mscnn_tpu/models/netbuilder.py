@@ -177,6 +177,9 @@ def _resolve_python_layer(layer_msg) -> object:
 
 # Caffe blob order -> our param-dict keys, per shareable layer type
 # (caffe.proto ParamSpec.name applies to the i-th blob of the layer).
+DATA_LAYER_TYPES = ("Data", "ImageData", "HDF5Data", "MemoryData",
+                    "DummyData", "WindowData")
+
 _SHARE_KEYS = {
     "Convolution": ("w", "b"), "Deconvolution": ("w", "b"),
     "InnerProduct": ("w", "b"), "Scale": ("w", "b"),
@@ -272,6 +275,11 @@ class Net:
             tops = [str(t) for t in PB.as_list(layer.get("top"))]
             in_shape = shapes.get(bots[0]) if bots else None
 
+            if ltype in DATA_LAYER_TYPES:
+                # tops come from the training batch source (train/generic)
+                # via ctor input_shapes, like the reference's reshape-from-
+                # first-prefetched-batch (base_data_layer.cpp)
+                continue
             if ltype == "Input":
                 # InputParameter.shape is repeated: one per top (or one
                 # shared shape, caffe.proto InputParameter); ctor
@@ -484,7 +492,7 @@ class Net:
 
         for layer in self.layers:
             ltype = str(layer.get("type"))
-            if ltype in ("Input", "Data", "ImageData", "MemoryData"):
+            if ltype == "Input" or ltype in DATA_LAYER_TYPES:
                 continue
             bots = [blobs[str(b)] for b in PB.as_list(layer.get("bottom"))]
             tops = [str(t) for t in PB.as_list(layer.get("top"))]
@@ -514,7 +522,7 @@ class Net:
         tops = [str(t) for t in PB.as_list(layer.get("top"))]
         loss = 0.0
 
-        if ltype in ("Input", "Data", "ImageData", "MemoryData", "Silence"):
+        if ltype in ("Input", "Silence") or ltype in DATA_LAYER_TYPES:
             return [], 0.0
         if ltype == "Convolution":
             cp = layer.get("convolution_param", {})

@@ -1,0 +1,256 @@
+"""Generic-net training: `mscnn train` on ANY classic prototxt.
+
+The reference's `caffe train` accepts an arbitrary NetParameter — LeNet,
+CaffeNet, autoencoders — not just MS-CNN nets (tools/caffe.cpp:103-233
+drives Solver<float>::Solve over whatever net the solver names).  Here
+MSCNN-typed nets route through the typed config path
+(config/zoo_import.model_from_prototxt); everything else lands on this
+module: the prototxt becomes a netbuilder.Net, its TRAIN-phase data layer
+becomes a host batch source, `param` specs become lr/decay multiplier
+pytrees, and one jitted value_and_grad + solver step trains it under the
+same train/loop.solve machinery (same LR policies, snapshots, signals).
+
+Data layers supported as batch sources: ImageData, HDF5Data, DummyData,
+MemoryData (programmatic only).  `Data` (LMDB/LevelDB) has no reader here
+by design — convert with `mscnn convert_imageset` or use ImageData
+(SURVEY §2.2: LMDB exists only to feed JPEG bytes to Caffe's reader).
+HDF5/NCHW arrays are transposed to the NHWC activation layout on load.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mscnn_tpu.config import prototxt as PB
+from mscnn_tpu.models import netbuilder as NB
+from mscnn_tpu.train import solver as S
+from mscnn_tpu.train.train_step import prune_frozen_params
+
+DATA_LAYER_TYPES = NB.DATA_LAYER_TYPES
+
+
+def find_data_layer(net: NB.Net) -> Optional[dict]:
+    """The net's (phase-filtered) data layer message, if any."""
+    for layer in net.layers:
+        if str(layer.get("type")) in DATA_LAYER_TYPES:
+            return layer
+    return None
+
+
+def _nchw_to_nhwc(a: np.ndarray) -> np.ndarray:
+    return a.transpose(0, 2, 3, 1) if a.ndim == 4 else a
+
+
+def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
+                      train: bool = True,
+                      root_folder: str = "") -> Callable[[], Dict]:
+    """Host batch source for one data layer: () -> {top: np.ndarray}.
+
+    Mirrors the reference data layers' parameters (image_data_layer.cpp,
+    hdf5_data_layer.cpp, dummy_data_layer.cpp); images arrive NHWC.
+    """
+    ltype = str(layer.get("type"))
+    tops = [str(t) for t in PB.as_list(layer.get("top"))]
+
+    if ltype == "ImageData":
+        from mscnn_tpu.data import sources as SRC
+        ip = layer.get("image_data_param", {})
+        tp = layer.get("transform_param", {})
+        mv = [float(v) for v in PB.as_list(tp.get("mean_value"))]
+        tspec = SRC.TransformSpec(
+            scale=float(tp.get("scale", 1.0)),
+            mean_values=tuple(mv) if mv else None,
+            crop_size=int(tp.get("crop_size", 0)),
+            mirror=bool(tp.get("mirror", False)))
+        ds = SRC.ImageListDataset(
+            str(ip["source"]), int(ip.get("batch_size", 1)), tspec,
+            root_folder=str(ip.get("root_folder", root_folder)),
+            shuffle=bool(ip.get("shuffle", True)), seed=seed, train=train)
+
+        def source():
+            b = ds.next_batch()
+            out = {tops[0]: b["image"]}
+            if len(tops) > 1:
+                out[tops[1]] = b["label"]
+            return out
+
+        return source
+
+    if ltype == "HDF5Data":
+        from mscnn_tpu.data import sources as SRC
+        hp = layer.get("hdf5_data_param", {})
+        with open(str(hp["source"])) as f:
+            files = [ln.strip() for ln in f if ln.strip()]
+        ds = SRC.HDF5Dataset(files, int(hp.get("batch_size", 1)),
+                             shuffle=bool(hp.get("shuffle", False)),
+                             seed=seed)
+
+        def source():
+            b = ds.next_batch()
+            return {t: _nchw_to_nhwc(b[t]) for t in tops if t in b}
+
+        return source
+
+    if ltype == "DummyData":
+        dp = layer.get("dummy_data_param", {})
+        sh_list = PB.as_list(dp.get("shape"))
+        fillers = PB.as_list(dp.get("data_filler"))
+        shapes = []
+        for ti in range(len(tops)):
+            if sh_list:
+                dims = [int(d) for d in PB.as_list(
+                    sh_list[min(ti, len(sh_list) - 1)]["dim"])]
+            else:  # legacy num/channels/height/width fields
+                def leg(name):
+                    vals = PB.as_list(dp.get(name))
+                    return int(vals[min(ti, len(vals) - 1)]) if vals else 1
+                dims = [leg("num"), leg("channels"),
+                        leg("height"), leg("width")]
+            if len(dims) == 4:
+                n, c, h, w = dims
+                shapes.append((n, h, w, c))
+            else:
+                shapes.append(tuple(dims))
+        rng = np.random.RandomState(seed)
+
+        def source():
+            out = {}
+            for ti, t in enumerate(tops):
+                fp = fillers[min(ti, len(fillers) - 1)] if fillers else {}
+                ftype = str(fp.get("type", "constant"))
+                if ftype == "gaussian":
+                    a = rng.randn(*shapes[ti]).astype(np.float32) \
+                        * float(fp.get("std", 1.0)) \
+                        + float(fp.get("mean", 0.0))
+                elif ftype == "uniform":
+                    a = rng.uniform(float(fp.get("min", 0.0)),
+                                    float(fp.get("max", 1.0)),
+                                    shapes[ti]).astype(np.float32)
+                else:
+                    a = np.full(shapes[ti], float(fp.get("value", 0.0)),
+                                np.float32)
+                out[t] = a
+            return out
+
+        return source
+
+    if ltype == "Data":
+        raise ValueError(
+            "Data (LMDB/LevelDB) sources have no reader here; convert "
+            "with `mscnn convert_imageset` or use an ImageData layer "
+            "(see data/records.py and SURVEY §2.2)")
+    raise ValueError(f"unsupported data layer type {ltype!r} for generic "
+                     "training (MemoryData is programmatic-only)")
+
+
+def param_multipliers(net: NB.Net, params: dict) -> Tuple[dict, dict]:
+    """Per-leaf lr/decay multiplier pytrees from `param` specs
+    (caffe.proto ParamSpec lr_mult/decay_mult; defaults 1.0)."""
+    lr = jax.tree.map(lambda _: 1.0, params)
+    dk = jax.tree.map(lambda _: 1.0, params)
+    for layer in net.layers:
+        name = str(layer.get("name"))
+        if name not in params:
+            continue
+        specs = [s for s in PB.as_list(layer.get("param"))
+                 if isinstance(s, dict)]
+        if not specs:
+            continue
+        keys = NB._SHARE_KEYS.get(str(layer.get("type")), ("w", "b"))
+        present = [k for k in keys if k in params[name]]
+        for i, k in enumerate(present):
+            if i < len(specs):
+                lr[name][k] = float(specs[i].get("lr_mult", 1.0))
+                dk[name][k] = float(specs[i].get("decay_mult", 1.0))
+    return lr, dk
+
+
+def make_train_step(net: NB.Net, sspec: S.SolverSpec, *,
+                    lr_mults=None, decay_mults=None):
+    """One jitted step(state, batch, key) -> (state, metrics) for a
+    netbuilder net: fwd through net.apply (losses accumulate into
+    blobs['loss']), autodiff backward, Caffe-exact solver update.
+    lr_mult-0 leaves are pruned from autodiff (net.cpp:191-247
+    backward-need parity, as in train_step.make_train_step)."""
+    acc_tops = [str(PB.as_list(l.get("top"))[0]) for l in net.layers
+                if str(l.get("type")) == "Accuracy"]
+
+    def objective(params, batch, key):
+        params = prune_frozen_params(params, lr_mults) \
+            if lr_mults is not None else params
+        blobs = net.apply(params, batch, train=True, key=key)
+        extras = {t: blobs[t] for t in acc_tops if t in blobs}
+        return blobs["loss"], extras
+
+    @jax.jit
+    def step(state, batch, key):
+        (loss, extras), grads = jax.value_and_grad(
+            objective, has_aux=True)(state["params"], batch, key)
+        params, sol, lr = S.apply_update(
+            state["params"], grads, state["solver"], sspec,
+            lr_mults=lr_mults, decay_mults=decay_mults)
+        metrics = {"loss": loss, "lr": lr, **extras}
+        return {"params": params, "solver": sol}, metrics
+
+    return step
+
+
+def make_eval_step(net: NB.Net):
+    """jitted (params, batch, key) -> {metric: scalar} over the
+    TEST-phase net's loss + Accuracy tops (caffe test semantics)."""
+    acc_tops = [str(PB.as_list(l.get("top"))[0]) for l in net.layers
+                if str(l.get("type")) == "Accuracy"]
+
+    @jax.jit
+    def eval_step(params, batch, key):
+        blobs = net.apply(params, batch, train=False)
+        out = {"loss": blobs["loss"]}
+        for t in acc_tops:
+            if t in blobs:
+                out[t] = blobs[t]
+        return out
+
+    return eval_step
+
+
+def setup(net_path: str, sspec: S.SolverSpec, *, phase: str = "TRAIN",
+          seed: int = 0, weights: Optional[str] = None):
+    """Build (state, step, batch_source, net) for a generic prototxt.
+
+    Input shapes for init come from one probe batch of the data layer
+    (the reference reshapes from the first prefetched batch the same
+    way, base_data_layer.cpp).  `weights`: warm-start .caffemodel or
+    orbax checkpoint path (copy_trained_layers name matching).
+    """
+    probe_net = NB.Net(net_path, phase=phase)
+    layer = find_data_layer(probe_net)
+    if layer is None:
+        raise ValueError(
+            f"net {net_path!r} has no {phase}-phase data layer "
+            f"({'/'.join(DATA_LAYER_TYPES)}) and no MSCNN ImageGtData — "
+            "nothing to train from")
+    source = make_batch_source(probe_net, layer, seed=seed,
+                               train=phase == "TRAIN")
+    first = source()
+    input_shapes = {k: tuple(v.shape) for k, v in first.items()}
+    net = NB.Net(net_path, phase=phase, input_shapes=input_shapes)
+    params = net.init(jax.random.key(seed))
+    if weights:
+        from mscnn_tpu.io import checkpoint as CKPT
+        params = CKPT.restore_params(weights, params)
+    lr_mults, decay_mults = param_multipliers(net, params)
+    step = make_train_step(net, sspec, lr_mults=lr_mults,
+                           decay_mults=decay_mults)
+    state = {"params": params, "solver": S.init_state(params, sspec)}
+
+    pending = [first]
+
+    def batch_source():
+        b = pending.pop() if pending else source()
+        return jax.tree.map(jnp.asarray, b)
+
+    return state, step, batch_source, net
