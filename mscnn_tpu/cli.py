@@ -67,20 +67,19 @@ def _build_generic_training(args, fields, net_path, sspec, lspec):
     and the netbuilder Net in the tspec slot (cmd_test builds its eval
     step from it)."""
     from mscnn_tpu.io import checkpoint as CKPT
+    from mscnn_tpu.parallel import data_parallel_mesh
     from mscnn_tpu.train import generic as G
 
-    if args.devices > 1:
-        raise SystemExit("--devices > 1 is not supported for generic "
-                         "(non-MSCNN) prototxt nets yet")
+    mesh = data_parallel_mesh(args.devices) if args.devices > 1 else None
     phase = getattr(args, "phase", "TRAIN") or "TRAIN"
     state, step, batch_source, net = G.setup(
         net_path, sspec, phase=phase,
         seed=int(fields.get("random_seed", 0)),
-        weights=args.weights or None)
+        weights=args.weights or None, mesh=mesh)
     if args.snapshot:
         state = CKPT.restore(args.snapshot, state)
     return (state, step, lambda: _PlainSource(batch_source), lspec,
-            None, net, None)
+            None, net, mesh)
 
 
 def _build_training(args, solver_path):
@@ -228,7 +227,7 @@ def cmd_test(args):
         _build_training(args, args.solver)
     if cfg is None:  # generic prototxt: tspec slot carries the Net
         from mscnn_tpu.train import generic as G
-        eval_step = G.make_eval_step(tspec)
+        eval_step = G.make_eval_step(tspec, mesh=mesh)
     else:
         eval_step = T.make_eval_step(cfg, tspec, mesh=mesh)
     n = args.iterations or lspec.test_iter or 50

@@ -169,15 +169,27 @@ def param_multipliers(net: NB.Net, params: dict) -> Tuple[dict, dict]:
     return lr, dk
 
 
+def _acc_tops(net: NB.Net):
+    return [str(PB.as_list(l.get("top"))[0]) for l in net.layers
+            if str(l.get("type")) == "Accuracy"]
+
+
 def make_train_step(net: NB.Net, sspec: S.SolverSpec, *,
-                    lr_mults=None, decay_mults=None):
+                    lr_mults=None, decay_mults=None, mesh=None):
     """One jitted step(state, batch, key) -> (state, metrics) for a
     netbuilder net: fwd through net.apply (losses accumulate into
     blobs['loss']), autodiff backward, Caffe-exact solver update.
     lr_mult-0 leaves are pruned from autodiff (net.cpp:191-247
-    backward-need parity, as in train_step.make_train_step)."""
-    acc_tops = [str(PB.as_list(l.get("top"))[0]) for l in net.layers
-                if str(l.get("type")) == "Accuracy"]
+    backward-need parity, as in train_step.make_train_step).
+
+    With a mesh: P2PSync-style DP over the first mesh axis — each device
+    consumes a disjoint micro-batch, grads are pmean-ed, the update is
+    computed replicated (train_step.py has the MSCNN analog)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    acc_tops = _acc_tops(net)
 
     def objective(params, batch, key):
         params = prune_frozen_params(params, lr_mults) \
@@ -186,26 +198,48 @@ def make_train_step(net: NB.Net, sspec: S.SolverSpec, *,
         extras = {t: blobs[t] for t in acc_tops if t in blobs}
         return blobs["loss"], extras
 
-    @jax.jit
     def step(state, batch, key):
         (loss, extras), grads = jax.value_and_grad(
             objective, has_aux=True)(state["params"], batch, key)
+        metrics = {"loss": loss, **extras}
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
         params, sol, lr = S.apply_update(
             state["params"], grads, state["solver"], sspec,
             lr_mults=lr_mults, decay_mults=decay_mults)
-        metrics = {"loss": loss, "lr": lr, **extras}
+        metrics["lr"] = lr
         return {"params": params, "solver": sol}, metrics
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=({"params": P(), "solver": P()}, P(axis), P()),
+        out_specs=({"params": P(), "solver": P()}, P()),
+        check_vma=False,
+    )
+    def sharded(state, batch, key):
+        # decorrelate per-device dropout (parallel.cpp:276-282 analog)
+        return step(state, batch,
+                    jax.random.fold_in(key, jax.lax.axis_index(axis)))
+
+    return jax.jit(sharded)
 
 
-def make_eval_step(net: NB.Net):
+def make_eval_step(net: NB.Net, mesh=None):
     """jitted (params, batch, key) -> {metric: scalar} over the
     TEST-phase net's loss + Accuracy tops (caffe test semantics)."""
-    acc_tops = [str(PB.as_list(l.get("top"))[0]) for l in net.layers
-                if str(l.get("type")) == "Accuracy"]
+    import functools
 
-    @jax.jit
+    from jax.sharding import PartitionSpec as P
+
+    acc_tops = _acc_tops(net)
+
     def eval_step(params, batch, key):
         blobs = net.apply(params, batch, train=False)
         out = {"loss": blobs["loss"]}
@@ -214,17 +248,31 @@ def make_eval_step(net: NB.Net):
                 out[t] = blobs[t]
         return out
 
-    return eval_step
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P()), out_specs=P(), check_vma=False,
+    )
+    def sharded(params, batch, key):
+        return jax.lax.pmean(eval_step(params, batch, key), axis)
+
+    return jax.jit(sharded)
 
 
 def setup(net_path: str, sspec: S.SolverSpec, *, phase: str = "TRAIN",
-          seed: int = 0, weights: Optional[str] = None):
+          seed: int = 0, weights: Optional[str] = None, mesh=None):
     """Build (state, step, batch_source, net) for a generic prototxt.
 
     Input shapes for init come from one probe batch of the data layer
     (the reference reshapes from the first prefetched batch the same
     way, base_data_layer.cpp).  `weights`: warm-start .caffemodel or
     orbax checkpoint path (copy_trained_layers name matching).
+    With a mesh, the state is replicated, batches are sharded over the
+    data axis, and the step runs P2PSync-style DP.
     """
     probe_net = NB.Net(net_path, phase=phase)
     layer = find_data_layer(probe_net)
@@ -236,6 +284,12 @@ def setup(net_path: str, sspec: S.SolverSpec, *, phase: str = "TRAIN",
     source = make_batch_source(probe_net, layer, seed=seed,
                                train=phase == "TRAIN")
     first = source()
+    if mesh is not None:
+        n_dev = int(np.prod(mesh.devices.shape))
+        bs = next(iter(first.values())).shape[0]
+        if bs % n_dev:
+            raise ValueError(f"data-layer batch_size {bs} not divisible "
+                             f"by {n_dev} devices")
     input_shapes = {k: tuple(v.shape) for k, v in first.items()}
     net = NB.Net(net_path, phase=phase, input_shapes=input_shapes)
     params = net.init(jax.random.key(seed))
@@ -244,13 +298,22 @@ def setup(net_path: str, sspec: S.SolverSpec, *, phase: str = "TRAIN",
         params = CKPT.restore_params(weights, params)
     lr_mults, decay_mults = param_multipliers(net, params)
     step = make_train_step(net, sspec, lr_mults=lr_mults,
-                           decay_mults=decay_mults)
+                           decay_mults=decay_mults, mesh=mesh)
     state = {"params": params, "solver": S.init_state(params, sspec)}
 
     pending = [first]
 
-    def batch_source():
-        b = pending.pop() if pending else source()
-        return jax.tree.map(jnp.asarray, b)
+    if mesh is None:
+        def batch_source():
+            b = pending.pop() if pending else source()
+            return jax.tree.map(jnp.asarray, b)
+    else:
+        from mscnn_tpu.train.train_step import (replicate_state,
+                                                shard_batch)
+        state = replicate_state(state, mesh)
+
+        def batch_source():
+            b = pending.pop() if pending else source()
+            return shard_batch(jax.tree.map(jnp.asarray, b), mesh)
 
     return state, step, batch_source, net
