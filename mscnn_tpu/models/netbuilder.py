@@ -467,6 +467,18 @@ class Net:
         return {k: {kk: vv for kk, vv in v.items() if vv is not None}
                 for k, v in params.items()}
 
+    def _load_infogain(self, path: str):
+        """Cached [K,K] infogain H matrix from a BlobProto file."""
+        cache = getattr(self, "_infogain_cache", None)
+        if cache is None:
+            cache = self._infogain_cache = {}
+        if path not in cache:
+            from mscnn_tpu.io.caffemodel import blobproto_to_array
+            with open(path, "rb") as f:
+                arr = blobproto_to_array(f.read())
+            cache[path] = arr.reshape(arr.shape[-2], arr.shape[-1])
+        return cache[path]
+
     def layer_params(self, params: dict, name: str) -> dict:
         """The params dict layer `name` computes with: its own leaves plus
         any `param {name}`-shared leaves resolved from their owner layer
@@ -666,6 +678,22 @@ class Net:
         elif ltype == "MultinomialLogisticLoss":
             out = LY.multinomial_logistic_loss(
                 bots[0], bots[1].astype(jnp.int32))
+            loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype == "InfogainLoss":
+            # H matrix from the optional third bottom, else from the
+            # infogain_loss_param.source binaryproto file
+            # (infogain_loss_layer.cpp:22-32)
+            if len(bots) > 2:
+                h = bots[2]
+            else:
+                src = str(layer.get("infogain_loss_param", {})
+                          .get("source", ""))
+                if not src:
+                    raise ValueError(
+                        f"InfogainLoss {name!r} needs a third bottom or "
+                        "infogain_loss_param.source")
+                h = jnp.asarray(self._load_infogain(src))
+            out = LY.infogain_loss(bots[0], bots[1].astype(jnp.int32), h)
             loss = loss + float(layer.get("loss_weight", 1.0)) * out
         elif ltype == "Split":
             return [bots[0]] * len(tops), 0.0

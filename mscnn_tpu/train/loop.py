@@ -36,6 +36,7 @@ class LoopSpec:
     snapshot_format: str = "orbax"  # orbax | binaryproto | hdf5 (reference)
     sigint_effect: str = "stop"    # stop | snapshot | none
     sighup_effect: str = "snapshot"
+    snapshot_after_train: bool = True  # solver.cpp:294-299
     stepvalue: tuple = ()          # multistep lr boundaries (for the
     #                                solverstate current_step field)
 
@@ -165,7 +166,7 @@ def solve(step_fn, train_state, batch_source, spec: LoopSpec, *,
             if spec.snapshot and it % spec.snapshot == 0:
                 _snapshot(spec, train_state, it)
 
-    if spec.snapshot_prefix:
+    if spec.snapshot_prefix and spec.snapshot_after_train:
         path = _snapshot(spec, train_state, it)
         _logf(f"Snapshotting to {path}", log)
     return train_state
@@ -187,6 +188,8 @@ def loop_spec_from_solver_fields(fields: dict,
             str(fields.get("snapshot_format", "")).upper(), "orbax"),
         snapshot_prefix=snapshot_prefix
         or str(fields.get("snapshot_prefix", "mscnn")),
+        snapshot_after_train=str(fields.get(
+            "snapshot_after_train", "true")).lower() != "false",
         stepvalue=tuple(int(v)
                         for v in PB.as_list(fields.get("stepvalue"))),
     )

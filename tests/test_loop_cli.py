@@ -433,3 +433,23 @@ def test_snapshot_format_hdf5(tmp_path):
     import os
     assert os.path.exists(path)
     assert os.path.exists(str(tmp_path / "snap_iter_5.solverstate.h5"))
+
+
+def test_snapshot_after_train_false(tmp_path):
+    """solver.cpp:294-299: snapshot_after_train := false suppresses the
+    final exit snapshot (periodic ones still fire)."""
+    spec = LP.LoopSpec(max_iter=5, display=0, snapshot=2,
+                       snapshot_prefix=str(tmp_path / "s"),
+                       snapshot_after_train=False)
+    LP.solve(fake_step, fake_state(), lambda: {}, spec)
+    assert os.path.isdir(str(tmp_path / "s_iter_2"))
+    assert os.path.isdir(str(tmp_path / "s_iter_4"))
+    assert not os.path.isdir(str(tmp_path / "s_iter_5"))
+
+
+def test_loop_spec_reads_snapshot_after_train():
+    fields = {"max_iter": 3, "snapshot_after_train": "false"}
+    assert LP.loop_spec_from_solver_fields(fields).snapshot_after_train \
+        is False
+    assert LP.loop_spec_from_solver_fields(
+        {"max_iter": 3}).snapshot_after_train is True

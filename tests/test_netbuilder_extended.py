@@ -331,3 +331,50 @@ def test_param_sharing_unsupported_type_raises():
                     pooling_param=dict(kernel_size=2, stride=2))
     with pytest.raises(ValueError, match="not supported"):
         build(n)
+
+
+def test_infogain_loss_from_blobproto_source(tmp_path):
+    """InfogainLoss H from an infogain_loss_param.source binaryproto
+    (infogain_loss_layer.cpp:22-32); identity H reduces to the
+    multinomial logistic loss."""
+    from mscnn_tpu.io.caffemodel import array_to_blobproto
+    from mscnn_tpu.ops import layers as LY
+
+    k = 4
+    hpath = tmp_path / "H.binaryproto"
+    hpath.write_bytes(array_to_blobproto(
+        np.eye(k, dtype=np.float32)[None, None]))
+
+    text = f'''
+layer {{ name: "i" type: "Input" top: "p"
+  input_param {{ shape {{ dim: 6 dim: {k} }} }} }}
+layer {{ name: "i2" type: "Input" top: "label"
+  input_param {{ shape {{ dim: 6 }} }} }}
+layer {{ name: "loss" type: "InfogainLoss" bottom: "p" bottom: "label"
+  top: "loss" infogain_loss_param {{ source: "{hpath}" }} }}
+'''
+    net = Net(text)
+    params = net.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    p = rng.dirichlet(np.ones(k), 6).astype(np.float32)
+    lab = rng.randint(0, k, 6).astype(np.int32)
+    blobs = net.apply(params, {"p": jnp.asarray(p), "label": jnp.asarray(lab)})
+    expect = float(LY.multinomial_logistic_loss(jnp.asarray(p),
+                                                jnp.asarray(lab)))
+    np.testing.assert_allclose(float(blobs["loss"]), expect, rtol=1e-5)
+
+
+def test_infogain_loss_missing_source_raises():
+    text = '''
+layer { name: "i" type: "Input" top: "p"
+  input_param { shape { dim: 2 dim: 3 } } }
+layer { name: "i2" type: "Input" top: "label"
+  input_param { shape { dim: 2 } } }
+layer { name: "loss" type: "InfogainLoss" bottom: "p" bottom: "label"
+  top: "loss" }
+'''
+    net = Net(text)
+    params = net.init(jax.random.key(0))
+    with pytest.raises(ValueError, match="third bottom"):
+        net.apply(params, {"p": jnp.ones((2, 3)) / 3.0,
+                           "label": jnp.zeros(2, jnp.int32)})
