@@ -695,6 +695,13 @@ class Net:
                 h = jnp.asarray(self._load_infogain(src))
             out = LY.infogain_loss(bots[0], bots[1].astype(jnp.int32), h)
             loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype == "ContrastiveLoss":
+            cp = layer.get("contrastive_loss_param", {})
+            out = LY.contrastive_loss(
+                bots[0], bots[1], bots[2],
+                margin=float(cp.get("margin", 1.0)),
+                legacy=bool(cp.get("legacy_version", False)))
+            loss = loss + float(layer.get("loss_weight", 1.0)) * out
         elif ltype == "Split":
             return [bots[0]] * len(tops), 0.0
         elif ltype == "Softmax":

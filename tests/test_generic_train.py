@@ -169,3 +169,48 @@ snapshot_prefix: "{prefix}"
     rc = cli.main(["train", "--solver", str(solver), "--devices", "8"])
     assert rc == 0
     assert os.path.isdir(prefix + "_iter_6")
+
+
+def test_siamese_contrastive_trains(tmp_path):
+    """The reference siamese flow end-to-end (examples/siamese/
+    mnist_siamese_train_test.prototxt): two branches with param{name}-
+    shared weights + ContrastiveLoss, trained through train/generic.py.
+    All pairs are similar (sim=1), so the optimum pulls the
+    shared embedding together and the loss falls monotonically."""
+    net = tmp_path / "siamese.prototxt"
+    net.write_text("""
+name: "tiny_siamese"
+layer { name: "data" type: "DummyData" top: "a" top: "b" top: "sim"
+  dummy_data_param {
+    shape { dim: 8 dim: 1 dim: 8 dim: 8 }
+    shape { dim: 8 dim: 1 dim: 8 dim: 8 }
+    shape { dim: 8 }
+    data_filler { type: "gaussian" std: 1.0 }
+    data_filler { type: "gaussian" std: 1.0 }
+    data_filler { type: "constant" value: 1 }
+  } }
+layer { name: "ip1" type: "InnerProduct" bottom: "a" top: "feat"
+  param { name: "ip1_w" } param { name: "ip1_b" }
+  inner_product_param { num_output: 4
+    weight_filler { type: "xavier" } } }
+layer { name: "ip1_p" type: "InnerProduct" bottom: "b" top: "feat_p"
+  param { name: "ip1_w" } param { name: "ip1_b" }
+  inner_product_param { num_output: 4
+    weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "ContrastiveLoss"
+  bottom: "feat" bottom: "feat_p" bottom: "sim" top: "loss"
+  contrastive_loss_param { margin: 1.0 } }
+""")
+    sspec = S.SolverSpec(base_lr=0.01, lr_policy="fixed")
+    state, step, batch_source, built = G.setup(str(net), sspec)
+    # the branch weights are one shared leaf
+    assert "w" in state["params"]["ip1"]
+    assert "w" not in state["params"].get("ip1_p", {})
+    key = jax.random.key(0)
+    losses = []
+    for it in range(20):
+        state, metrics = step(state, batch_source(),
+                              jax.random.fold_in(key, it))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
