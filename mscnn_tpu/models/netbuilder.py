@@ -184,6 +184,7 @@ _SHARE_KEYS = {
     "Convolution": ("w", "b"), "Deconvolution": ("w", "b"),
     "InnerProduct": ("w", "b"), "Scale": ("w", "b"),
     "PReLU": ("slope",), "Bias": ("b",), "BatchNorm": ("mean", "var"),
+    "Embed": ("w", "b"), "Parameter": ("w",),
 }
 
 
@@ -406,6 +407,28 @@ class Net:
                 ph = int(layer.get("spp_param", {}).get("pyramid_height", 3))
                 d = in_shape[-1] * sum(4 ** l for l in range(ph))
                 shapes[tops[0]] = (in_shape[0], d)
+            elif ltype == "Embed":
+                ep = layer.get("embed_param", {})
+                k = int(ep["input_dim"])
+                d = int(ep["num_output"])
+                params[name] = {
+                    "w": _filler(ep.get("weight_filler"), next(keys),
+                                 (k, d), k),
+                    "b": _filler(ep.get("bias_filler"), next(keys), (d,),
+                                 d) if ep.get("bias_term", True) else None,
+                }
+                shapes[tops[0]] = tuple(in_shape) + (d,)
+            elif ltype == "BatchReindex":
+                idx_shape = shapes[bots[1]]
+                shapes[tops[0]] = (idx_shape[0],) + tuple(in_shape[1:])
+            elif ltype == "Parameter":
+                dims = [int(d) for d in PB.as_list(
+                    layer.get("parameter_param", {})
+                    .get("shape", {}).get("dim"))]
+                # the blob itself is the output; zero-init like the
+                # reference (weights normally arrive via warm start)
+                params[name] = {"w": jnp.zeros(tuple(dims))}
+                shapes[tops[0]] = tuple(dims)
             elif ltype == "Python":
                 inst = _resolve_python_layer(layer)
                 self._python_layers[name] = inst
@@ -695,6 +718,13 @@ class Net:
                 h = jnp.asarray(self._load_infogain(src))
             out = LY.infogain_loss(bots[0], bots[1].astype(jnp.int32), h)
             loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype == "Embed":
+            p = self.layer_params(params, name)
+            out = LY.embed(bots[0].astype(jnp.int32), p["w"], p.get("b"))
+        elif ltype == "BatchReindex":
+            out = LY.batch_reindex(bots[0], bots[1].astype(jnp.int32))
+        elif ltype == "Parameter":
+            out = self.layer_params(params, name)["w"]
         elif ltype == "ContrastiveLoss":
             cp = layer.get("contrastive_loss_param", {})
             out = LY.contrastive_loss(

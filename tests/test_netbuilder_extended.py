@@ -378,3 +378,58 @@ layer { name: "loss" type: "InfogainLoss" bottom: "p" bottom: "label"
     with pytest.raises(ValueError, match="third bottom"):
         net.apply(params, {"p": jnp.ones((2, 3)) / 3.0,
                            "label": jnp.zeros(2, jnp.int32)})
+
+
+def test_embed_and_batch_reindex():
+    """Embed lookup (embed_layer.cpp) and BatchReindex row gather
+    (batch_reindex_layer.cpp) through the generic builder."""
+    text = '''
+layer { name: "i" type: "Input" top: "ids"
+  input_param { shape { dim: 5 } } }
+layer { name: "perm" type: "Input" top: "perm"
+  input_param { shape { dim: 3 } } }
+layer { name: "emb" type: "Embed" bottom: "ids" top: "emb"
+  embed_param { input_dim: 7 num_output: 4
+    weight_filler { type: "uniform" min: -1 max: 1 } } }
+layer { name: "re" type: "BatchReindex" bottom: "emb" bottom: "perm"
+  top: "re" }
+'''
+    net = Net(text)
+    params = net.init(jax.random.key(0))
+    assert params["emb"]["w"].shape == (7, 4)
+    ids = jnp.asarray([0, 3, 6, 3, 1], jnp.int32)
+    perm = jnp.asarray([4, 0, 2], jnp.int32)
+    blobs = net.apply(params, {"ids": ids, "perm": perm})
+    table = np.asarray(params["emb"]["w"]) + np.asarray(params["emb"]["b"])
+    np.testing.assert_allclose(np.asarray(blobs["emb"]),
+                               table[np.asarray(ids)], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(blobs["re"]),
+                               np.asarray(blobs["emb"])[[4, 0, 2]],
+                               rtol=1e-6)
+
+
+def test_parameter_layer_trains():
+    """Parameter layer (parameter_layer.hpp): a learnable standalone blob
+    emitted as a top; fitting it to a target through EuclideanLoss."""
+    text = '''
+layer { name: "t" type: "Input" top: "target"
+  input_param { shape { dim: 2 dim: 3 } } }
+layer { name: "p" type: "Parameter" top: "p"
+  parameter_param { shape { dim: 2 dim: 3 } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "p" bottom: "target"
+  top: "loss" }
+'''
+    net = Net(text)
+    params = net.init(jax.random.key(0))
+    assert params["p"]["w"].shape == (2, 3)
+    target = jnp.asarray(np.random.RandomState(0).randn(2, 3),
+                         jnp.float32)
+
+    def loss(prm):
+        return net.apply(prm, {"target": target})["loss"]
+
+    for _ in range(60):
+        g = jax.grad(loss)(params)
+        params = jax.tree.map(lambda w, d: w - 0.3 * d, params, g)
+    np.testing.assert_allclose(np.asarray(params["p"]["w"]),
+                               np.asarray(target), atol=1e-2)
