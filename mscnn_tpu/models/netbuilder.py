@@ -185,6 +185,9 @@ _SHARE_KEYS = {
     "InnerProduct": ("w", "b"), "Scale": ("w", "b"),
     "PReLU": ("slope",), "Bias": ("b",), "BatchNorm": ("mean", "var"),
     "Embed": ("w", "b"), "Parameter": ("w",),
+    # recurrent blob order: x-weights, bias, h-weights (lstm_layer.cpp
+    # FillUnrolledNet's W_xc / b_c / W_hc)
+    "LSTM": ("wx", "b", "wh"), "RNN": ("wx", "b", "wh"),
 }
 
 
@@ -429,6 +432,22 @@ class Net:
                 # reference (weights normally arrive via warm start)
                 params[name] = {"w": jnp.zeros(tuple(dims))}
                 shapes[tops[0]] = tuple(dims)
+            elif ltype in ("LSTM", "RNN"):
+                rp = layer.get("recurrent_param", {})
+                hd = int(rp["num_output"])
+                din = 1
+                for d in in_shape[2:]:
+                    din *= d
+                gd = 4 * hd if ltype == "LSTM" else hd
+                params[name] = {
+                    "wx": _filler(rp.get("weight_filler"), next(keys),
+                                  (din, gd), din),
+                    "b": _filler(rp.get("bias_filler"), next(keys),
+                                 (gd,), gd),
+                    "wh": _filler(rp.get("weight_filler"), next(keys),
+                                  (hd, gd), hd),
+                }
+                shapes[tops[0]] = (in_shape[0], in_shape[1], hd)
             elif ltype == "Python":
                 inst = _resolve_python_layer(layer)
                 self._python_layers[name] = inst
@@ -718,6 +737,19 @@ class Net:
                 h = jnp.asarray(self._load_infogain(src))
             out = LY.infogain_loss(bots[0], bots[1].astype(jnp.int32), h)
             loss = loss + float(layer.get("loss_weight", 1.0)) * out
+        elif ltype in ("LSTM", "RNN"):
+            # RecurrentLayer: bottoms x [T,N,...] (+ optional cont [T,N],
+            # recurrent_layer.hpp:28-52); activations here use the
+            # jnp/HWIO-style [D,4H] weight layout (ops/layers.lstm), NOT
+            # the reference's [4H,D] blob layout — caffemodel interop for
+            # recurrent blobs would need a transpose hint.
+            p = self.layer_params(params, name)
+            x = bots[0].reshape(bots[0].shape[0], bots[0].shape[1], -1)
+            cont = bots[1] if len(bots) > 1 else None
+            if ltype == "LSTM":
+                out, _ = LY.lstm(x, p, cont=cont)
+            else:
+                out, _ = LY.rnn(x, p, cont=cont)
         elif ltype == "Embed":
             p = self.layer_params(params, name)
             out = LY.embed(bots[0].astype(jnp.int32), p["w"], p.get("b"))

@@ -362,35 +362,54 @@ def lstm_unit(c_prev, gates):
     return c, o * jnp.tanh(c)
 
 
-def lstm(x_seq, params, h0=None, c0=None):
+def lstm(x_seq, params, h0=None, c0=None, cont=None):
     """Sequence LSTM: x_seq [T, N, D], params {wx [D,4H], wh [H,4H],
-    b [4H]}. Returns (h_seq [T, N, H], (h_T, c_T))."""
+    b [4H]}. Returns (h_seq [T, N, H], (h_T, c_T)).
+
+    cont: optional [T, N] sequence-continuation indicators (the
+    RecurrentLayer's second bottom, recurrent_layer.hpp:28-52):
+    cont[t]=0 resets the carried h/c to zero before step t, so multiple
+    sequences can be packed along T."""
     hdim = params["wh"].shape[0]
     n = x_seq.shape[1]
     h0 = jnp.zeros((n, hdim)) if h0 is None else h0
     c0 = jnp.zeros((n, hdim)) if c0 is None else c0
 
-    def step(carry, x):
+    def step(carry, xc):
         h, c = carry
+        if cont is None:
+            x = xc
+        else:
+            x, ct = xc
+            h = h * ct[:, None]
+            c = c * ct[:, None]
         gates = x @ params["wx"] + h @ params["wh"] + params["b"]
         c, h = lstm_unit(c, gates)
         return (h, c), h
 
-    (hT, cT), hs = lax.scan(step, (h0, c0), x_seq)
+    xs = x_seq if cont is None else (x_seq, cont)
+    (hT, cT), hs = lax.scan(step, (h0, c0), xs)
     return hs, (hT, cT)
 
 
-def rnn(x_seq, params, h0=None):
-    """Vanilla tanh RNN: params {wx [D,H], wh [H,H], b [H]}."""
+def rnn(x_seq, params, h0=None, cont=None):
+    """Vanilla tanh RNN: params {wx [D,H], wh [H,H], b [H]}.
+    cont as in lstm()."""
     hdim = params["wh"].shape[0]
     n = x_seq.shape[1]
     h0 = jnp.zeros((n, hdim)) if h0 is None else h0
 
-    def step(h, x):
+    def step(h, xc):
+        if cont is None:
+            x = xc
+        else:
+            x, ct = xc
+            h = h * ct[:, None]
         h = jnp.tanh(x @ params["wx"] + h @ params["wh"] + params["b"])
         return h, h
 
-    hT, hs = lax.scan(step, h0, x_seq)
+    xs = x_seq if cont is None else (x_seq, cont)
+    hT, hs = lax.scan(step, h0, xs)
     return hs, hT
 
 

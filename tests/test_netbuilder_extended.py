@@ -433,3 +433,66 @@ layer { name: "loss" type: "EuclideanLoss" bottom: "p" bottom: "target"
         params = jax.tree.map(lambda w, d: w - 0.3 * d, params, g)
     np.testing.assert_allclose(np.asarray(params["p"]["w"]),
                                np.asarray(target), atol=1e-2)
+
+
+def test_lstm_layer_with_cont_reset():
+    """LSTM through the generic builder with the RecurrentLayer cont
+    bottom (recurrent_layer.hpp:28-52): cont=0 at step t resets the
+    carried state, so a packed pair of sequences matches running them
+    separately."""
+    from mscnn_tpu.ops import layers as LY
+
+    text = '''
+layer { name: "x" type: "Input" top: "x"
+  input_param { shape { dim: 6 dim: 2 dim: 3 } } }
+layer { name: "cont" type: "Input" top: "cont"
+  input_param { shape { dim: 6 dim: 2 } } }
+layer { name: "lstm" type: "LSTM" bottom: "x" bottom: "cont" top: "h"
+  recurrent_param { num_output: 4
+    weight_filler { type: "uniform" min: -0.5 max: 0.5 } } }
+'''
+    net = Net(text)
+    params = net.init(jax.random.key(1))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(6, 2, 3), jnp.float32)
+    # two packed 3-step sequences: cont 0 at t=0 and t=3
+    cont = jnp.asarray(np.array([[0, 0], [1, 1], [1, 1],
+                                 [0, 0], [1, 1], [1, 1]], np.float32))
+    h = net.apply(params, {"x": x, "cont": cont})["h"]
+    assert h.shape == (6, 2, 4)
+    # reference: run the two halves independently (fresh state each)
+    h1, _ = LY.lstm(x[:3], params["lstm"])
+    h2, _ = LY.lstm(x[3:], params["lstm"])
+    np.testing.assert_allclose(np.asarray(h[:3]), np.asarray(h1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h[3:]), np.asarray(h2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rnn_layer_trains():
+    """Tanh RNN through the builder trains on a fit-the-mean task."""
+    text = '''
+layer { name: "x" type: "Input" top: "x"
+  input_param { shape { dim: 4 dim: 2 dim: 3 } } }
+layer { name: "t" type: "Input" top: "target"
+  input_param { shape { dim: 4 dim: 2 dim: 2 } } }
+layer { name: "rnn" type: "RNN" bottom: "x" top: "h"
+  recurrent_param { num_output: 2
+    weight_filler { type: "uniform" min: -0.5 max: 0.5 } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "h" bottom: "target"
+  top: "loss" }
+'''
+    net = Net(text)
+    params = net.init(jax.random.key(0))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 2, 3), jnp.float32)
+    target = jnp.asarray(np.tanh(rng.randn(4, 2, 2)), jnp.float32)
+
+    def loss(prm):
+        return net.apply(prm, {"x": x, "target": target})["loss"]
+
+    l0 = float(loss(params))
+    for _ in range(40):
+        params = jax.tree.map(lambda w, g: w - 0.1 * g,
+                              params, jax.grad(loss)(params))
+    assert float(loss(params)) < l0 * 0.5
