@@ -318,6 +318,9 @@ def net_layout_hints(net) -> dict:
         reference, so their weights need re-ordering on import/export.
       deconv_names: frozenset of Deconvolution layer names, whose 4-D
         blobs use Caffe's reversed in/out orientation.
+      recurrent: {LSTM/RNN layer: type} — their blobs store transposed
+        weights (W_xc [4H,D] / W_hc [4H,H] vs our wx [D,4H] / wh [H,4H];
+        recurrent_layer.cpp blob order W_xc, b, W_hc).
 
     Unlike infer_fc_after_pool (an MS-CNN name heuristic), this reads the
     actual graph, so it covers nets like VGG/CaffeNet where fc6 consumes
@@ -328,19 +331,22 @@ def net_layout_hints(net) -> dict:
     if not shapes:
         raise ValueError("net has no inferred shapes; call net.init() "
                          "before deriving layout hints")
-    fc, deconv = {}, set()
+    fc, deconv, recurrent = {}, set(), {}
     for layer in net.layers:
         ltype = layer.get("type")
         name = str(layer.get("name"))
         if ltype == "Deconvolution":
             deconv.add(name)
+        elif ltype in ("LSTM", "RNN"):
+            recurrent[name] = str(ltype)
         elif ltype == "InnerProduct":
             bots = [str(b) for b in PB.as_list(layer.get("bottom"))]
             sh = shapes.get(bots[0]) if bots else None
             if sh is not None and len(sh) == 4:
                 n, h, w, c = sh
                 fc[name] = (int(h), int(w), int(c))
-    return {"fc_after_pool": fc, "deconv_names": frozenset(deconv)}
+    return {"fc_after_pool": fc, "deconv_names": frozenset(deconv),
+            "recurrent": recurrent}
 
 
 def _export_weight(name: str, w: np.ndarray,
@@ -362,12 +368,21 @@ def _export_weight(name: str, w: np.ndarray,
     raise ValueError(f"layer {name}: cannot export weight of rank {w.ndim}")
 
 
-def _iter_layer_blobs(params, deconv_names, fc_after_pool):
+def _iter_layer_blobs(params, deconv_names, fc_after_pool,
+                      recurrent=None):
     """Yield (name, type, [caffe-layout blobs]) per layer, params order.
 
-    The per-layer blob order matches Net::ToProto: weight then bias.  Layers
+    The per-layer blob order matches Net::ToProto: weight then bias (for
+    recurrent layers W_xc, b, W_hc with transposed weights).  Layers
     without a 'w' entry are skipped (no learnable blobs to snapshot)."""
     for name, p in params.items():
+        if recurrent and name in recurrent and "wx" in p:
+            yield name, str(recurrent[name]), [
+                np.ascontiguousarray(np.asarray(p["wx"], np.float32).T),
+                np.asarray(p["b"], np.float32).reshape(-1),
+                np.ascontiguousarray(np.asarray(p["wh"], np.float32).T),
+            ]
+            continue
         if "w" not in p:
             continue
         ltype, w = _export_weight(name, p["w"], deconv_names, fc_after_pool)
@@ -379,7 +394,8 @@ def _iter_layer_blobs(params, deconv_names, fc_after_pool):
 
 def save_caffemodel(params, path: str, *, net_name: str = "mscnn_tpu",
                     deconv_names=("conv4_3_2x",),
-                    fc_after_pool: Optional[dict] = None) -> int:
+                    fc_after_pool: Optional[dict] = None,
+                    recurrent: Optional[dict] = None) -> int:
     """Write params as a NetParameter binaryproto the reference can read.
 
     Inverse layout mapping of load_caffemodel_params (HWIO->OIHW,
@@ -400,7 +416,7 @@ def save_caffemodel(params, path: str, *, net_name: str = "mscnn_tpu",
     out = [_w_len(1, net_name.encode())]
     n = 0
     for name, ltype, blobs in _iter_layer_blobs(params, deconv_names,
-                                                fc_after_pool):
+                                                fc_after_pool, recurrent):
         payload = _w_len(1, name.encode()) + _w_len(2, ltype.encode())
         for b in blobs:
             payload += _w_len(7, _encode_blob(b))
@@ -509,7 +525,8 @@ def load_solverstate_history(path: str, state_template,
 
 def load_caffemodel_params(path: str, params, cfg=None,
                            fc_after_pool: Optional[dict] = None,
-                           deconv_names=("conv4_3_2x",)):
+                           deconv_names=("conv4_3_2x",),
+                           recurrent: Optional[dict] = None):
     """Map a .caffemodel's layers onto a params pytree by name.
 
     params: our pytree ({layer: {"w", "b"}}); layers present in both are
@@ -542,6 +559,22 @@ def load_caffemodel_params(path: str, params, cfg=None,
         new = dict(p)
         w = bl[0]
         try:
+            if recurrent and name in recurrent:
+                # recurrent blob order W_xc, b, W_hc; weights transposed
+                # vs our jnp-native [D,4H]/[H,4H] (recurrent_layer.cpp)
+                if len(bl) != 3:
+                    raise ValueError(f"{len(bl)} blobs for recurrent layer")
+                for key, b_arr in (("wx", bl[0].T), ("b", bl[1].reshape(-1)),
+                                   ("wh", bl[2].T)):
+                    target = np.asarray(p[key])
+                    if b_arr.shape != target.shape:
+                        raise ValueError(
+                            f"{key}: {b_arr.shape} vs {target.shape}")
+                    new[key] = jnp.asarray(np.ascontiguousarray(b_arr),
+                                           target.dtype)
+                out[name] = new
+                report["copied"].append(name)
+                continue
             if "w" in p:
                 target = np.asarray(p["w"])
                 if w.ndim == 4 and name in deconv_names:

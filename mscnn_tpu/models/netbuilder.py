@@ -739,10 +739,9 @@ class Net:
             loss = loss + float(layer.get("loss_weight", 1.0)) * out
         elif ltype in ("LSTM", "RNN"):
             # RecurrentLayer: bottoms x [T,N,...] (+ optional cont [T,N],
-            # recurrent_layer.hpp:28-52); activations here use the
-            # jnp/HWIO-style [D,4H] weight layout (ops/layers.lstm), NOT
-            # the reference's [4H,D] blob layout — caffemodel interop for
-            # recurrent blobs would need a transpose hint.
+            # recurrent_layer.hpp:28-52); weights use the jnp-native
+            # [D,4H] layout — caffemodel interop transposes via the
+            # net_layout_hints "recurrent" map (io/caffemodel.py).
             p = self.layer_params(params, name)
             x = bots[0].reshape(bots[0].shape[0], bots[0].shape[1], -1)
             cont = bots[1] if len(bots) > 1 else None

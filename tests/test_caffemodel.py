@@ -444,3 +444,43 @@ def test_restore_params_dispatches_hdf5(tmp_path):
     H5.save_hdf5_weights(params, path)
     out = CKPT.restore_params(path, jax.tree.map(jnp.zeros_like, params))
     _assert_params_equal(out, params)
+
+
+def test_recurrent_caffemodel_roundtrip(tmp_path):
+    """LSTM/RNN blob interop: W_xc/b/W_hc in the reference's transposed
+    layout (recurrent_layer.cpp) round-trip through save -> load via the
+    net_layout_hints recurrent map."""
+    import jax
+
+    from mscnn_tpu.models.netbuilder import Net
+
+    text = '''
+layer { name: "x" type: "Input" top: "x"
+  input_param { shape { dim: 4 dim: 2 dim: 3 } } }
+layer { name: "lstm" type: "LSTM" bottom: "x" top: "h"
+  recurrent_param { num_output: 5
+    weight_filler { type: "uniform" min: -1 max: 1 } } }
+'''
+    net = Net(text)
+    params = net.init(jax.random.key(0))
+    hints = CM.net_layout_hints(net)
+    assert hints["recurrent"] == {"lstm": "LSTM"}
+
+    path = str(tmp_path / "r.caffemodel")
+    n = CM.save_caffemodel(params, path, recurrent=hints["recurrent"])
+    assert n == 1
+    # on-disk blobs are in Caffe layout: W_xc [4H, D]
+    blobs = CM.parse_caffemodel(path)
+    assert blobs["lstm"][0].shape == (20, 3)
+    assert blobs["lstm"][1].shape == (20,)
+    assert blobs["lstm"][2].shape == (20, 5)
+
+    # perturb then restore: load(save(x)) == x
+    zeroed = {"lstm": {k: np.zeros_like(v)
+                       for k, v in params["lstm"].items()}}
+    back, report = CM.load_caffemodel_params(
+        path, zeroed, fc_after_pool={}, recurrent=hints["recurrent"])
+    assert report["copied"] == ["lstm"] and not report["mismatched"]
+    for k in ("wx", "b", "wh"):
+        np.testing.assert_array_equal(np.asarray(back["lstm"][k]),
+                                      np.asarray(params["lstm"][k]))
