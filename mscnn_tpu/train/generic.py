@@ -11,7 +11,7 @@ pytrees, and one jitted value_and_grad + solver step trains it under the
 same train/loop.solve machinery (same LR policies, snapshots, signals).
 
 Data layers supported as batch sources: ImageData, HDF5Data, DummyData,
-MemoryData (programmatic only).  `Data` (LMDB/LevelDB) has no reader here
+WindowData (R-CNN crop-warp sampling), MemoryData (programmatic only).  `Data` (LMDB/LevelDB) has no reader here
 by design — convert with `mscnn convert_imageset` or use ImageData
 (SURVEY §2.2: LMDB exists only to feed JPEG bytes to Caffe's reader).
 HDF5/NCHW arrays are transposed to the NHWC activation layout on load.
@@ -134,6 +134,38 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
                     a = np.full(shapes[ti], float(fp.get("value", 0.0)),
                                 np.float32)
                 out[t] = a
+            return out
+
+        return source
+
+    if ltype == "WindowData":
+        from mscnn_tpu.data import sources as SRC
+        from mscnn_tpu.data import window_file as W
+        wp = layer.get("window_data_param", {})
+        tp = layer.get("transform_param", {})
+        mv = [float(v) for v in PB.as_list(tp.get("mean_value"))]
+        tspec = SRC.TransformSpec(
+            scale=float(tp.get("scale", 1.0)),
+            mean_values=tuple(mv) if mv else None,
+            mirror=bool(tp.get("mirror", False)))
+        images = W.parse_window_file(
+            str(wp["source"]),
+            root_folder=str(wp.get("root_folder", root_folder)))
+        ds = SRC.WindowCropDataset(
+            images,
+            crop_size=int(tp.get("crop_size", wp.get("crop_size", 227))),
+            fg_fraction=float(wp.get("fg_fraction", 0.25)),
+            fg_thr=float(wp.get("fg_threshold", 0.5)),
+            bg_thr=float(wp.get("bg_threshold", 0.5)),
+            context_pad=int(wp.get("context_pad", 0)),
+            batch_size=int(wp.get("batch_size", 32)),
+            seed=seed, tspec=tspec)
+
+        def source():
+            b = ds.next_batch()
+            out = {tops[0]: b["image"]}
+            if len(tops) > 1:
+                out[tops[1]] = b["label"]
             return out
 
         return source

@@ -214,3 +214,48 @@ layer { name: "loss" type: "ContrastiveLoss"
         losses.append(float(jax.device_get(metrics["loss"])))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_window_data_source(tmp_path):
+    """WindowData as a generic batch source: R-CNN crop-warp sampling
+    (window_data_layer.cpp) feeding a classification head."""
+    import cv2
+
+    from mscnn_tpu.models.netbuilder import Net
+
+    rng = np.random.RandomState(0)
+    img_path = str(tmp_path / "im.png")
+    cv2.imwrite(img_path, rng.randint(0, 255, (48, 64, 3), np.uint8))
+    wf = tmp_path / "windows.txt"
+    # window-file gts: (label, overlap-in-ignore-slot, x1, y1, x2, y2)
+    wf.write_text(f"""# 0
+{img_path}
+3
+48
+64
+3
+1 1.0 4 4 30 30
+2 0.8 10 8 40 40
+0 0.1 34 30 60 44
+0
+""")
+    net_text = f"""
+layer {{ name: "data" type: "WindowData" top: "data" top: "label"
+  window_data_param {{ source: "{wf}" batch_size: 6 fg_threshold: 0.5
+    context_pad: 2 }}
+  transform_param {{ crop_size: 21 mean_value: 128 }} }}
+layer {{ name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+  inner_product_param {{ num_output: 3
+    weight_filler {{ type: "xavier" }} }} }}
+layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+  top: "loss" }}
+"""
+    net_file = tmp_path / "wnet.prototxt"
+    net_file.write_text(net_text)
+    sspec = S.SolverSpec(base_lr=0.01, lr_policy="fixed")
+    state, step, batch_source, net = G.setup(str(net_file), sspec)
+    b = jax.device_get(batch_source())
+    assert b["data"].shape == (6, 21, 21, 3)
+    assert set(np.asarray(b["label"]).astype(int)) <= {0, 1, 2}
+    state, metrics = step(state, batch_source(), jax.random.key(0))
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
