@@ -188,13 +188,21 @@ def main():
     if int8:
         deploy_cfg = dataclasses.replace(deploy_cfg, int8_trunk=True)
     # conv1 strategy (BENCH.md A/B protocol): plain | pallas (fused
-    # conv1_1+conv1_2+pool1 bf16 kernel) | s2d.  Default: plain when the
-    # int8 trunk is on (int8 conv1 beats the bf16 kernel, r3: 57.8 vs
-    # 52.7 img/s at b4), the fused Pallas kernel for the bf16 control.
-    conv1 = os.environ.get("MSCNN_CONV1", "plain" if int8 else "pallas")
-    flags = {"s2d_conv1": conv1 == "s2d", "pallas_conv1": conv1 == "pallas"}
-    deploy_cfg = dataclasses.replace(deploy_cfg, **flags)
-    train_cfg = dataclasses.replace(train_cfg, **flags)
+    # conv1_1+conv1_2+pool1 bf16 kernel) | s2d.  Deploy default: plain
+    # when the int8 trunk is on (int8 conv1 beats the bf16 kernel, r3:
+    # 57.8 vs 52.7 img/s at b4), the fused Pallas kernel for the bf16
+    # control.  The TRAINING config pins plain regardless of MSCNN_INT8
+    # (training never runs int8; conv1/conv2 are frozen so the kernel is
+    # forward-only there — r2 measured it train-neutral, r3 plain read
+    # 38.8 vs 38.0), so the int8 A/B toggles exactly one deploy-side
+    # variable for train_images_per_sec.
+    conv1 = os.environ.get("MSCNN_CONV1")
+    dep_c1 = conv1 or ("plain" if int8 else "pallas")
+    trn_c1 = conv1 or "plain"
+    deploy_cfg = dataclasses.replace(
+        deploy_cfg, s2d_conv1=dep_c1 == "s2d", pallas_conv1=dep_c1 == "pallas")
+    train_cfg = dataclasses.replace(
+        train_cfg, s2d_conv1=trn_c1 == "s2d", pallas_conv1=trn_c1 == "pallas")
 
     img_per_sec = bench_deploy(deploy_cfg)
     train_ips = bench_train(train_cfg)

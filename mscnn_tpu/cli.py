@@ -70,12 +70,16 @@ def _build_generic_training(args, fields, net_path, sspec, lspec):
     from mscnn_tpu.parallel import data_parallel_mesh
     from mscnn_tpu.train import generic as G
 
+    if args.bf16:
+        raise SystemExit("--bf16 applies to the MSCNN compute-dtype "
+                         "config; generic prototxt nets run f32")
     mesh = data_parallel_mesh(args.devices) if args.devices > 1 else None
     phase = getattr(args, "phase", "TRAIN") or "TRAIN"
     state, step, batch_source, net = G.setup(
         net_path, sspec, phase=phase,
         seed=int(fields.get("random_seed", 0)),
-        weights=args.weights or None, mesh=mesh)
+        weights=args.weights or None, mesh=mesh,
+        batch_size=args.batch_size or None)
     if args.snapshot:
         state = CKPT.restore(args.snapshot, state)
     return (state, step, lambda: _PlainSource(batch_source), lspec,

@@ -376,12 +376,23 @@ def _iter_layer_blobs(params, deconv_names, fc_after_pool,
     recurrent layers W_xc, b, W_hc with transposed weights).  Layers
     without a 'w' entry are skipped (no learnable blobs to snapshot)."""
     for name, p in params.items():
-        if recurrent and name in recurrent and "wx" in p:
-            yield name, str(recurrent[name]), [
+        if "wx" in p:
+            # recurrent pytrees are self-identifying; the explicit map
+            # only overrides the type name
+            ltype = str(recurrent[name]) if recurrent and name in recurrent \
+                else ("RNN" if "wo" in p else "LSTM")
+            blobs = [
                 np.ascontiguousarray(np.asarray(p["wx"], np.float32).T),
                 np.asarray(p["b"], np.float32).reshape(-1),
                 np.ascontiguousarray(np.asarray(p["wh"], np.float32).T),
             ]
+            if "wo" in p:
+                blobs += [
+                    np.ascontiguousarray(np.asarray(p["wo"],
+                                                    np.float32).T),
+                    np.asarray(p["bo"], np.float32).reshape(-1),
+                ]
+            yield name, ltype, blobs
             continue
         if "w" not in p:
             continue
@@ -494,6 +505,26 @@ def load_solverstate_history(path: str, state_template,
     h1 = {}
     for name, p in state_template["h1"].items():
         new = dict(p)
+        if "wx" in p:
+            # recurrent history blobs mirror the weight blob order/
+            # layout (W_xh/W_xc first, transposed — see _iter_layer_blobs)
+            pairs = [("wx", True), ("b", False), ("wh", True)]
+            if "wo" in p:
+                pairs += [("wo", True), ("bo", False)]
+            if len(hist) < len(pairs):
+                raise ValueError("solverstate has fewer history blobs "
+                                 "than the state template expects")
+            for key, transpose in pairs:
+                blob = hist.pop(0)
+                b_arr = blob.T if transpose else blob.reshape(-1)
+                target = np.asarray(p[key])
+                if b_arr.shape != target.shape:
+                    raise ValueError(
+                        f"{name}.{key}: {b_arr.shape} vs {target.shape}")
+                new[key] = jnp.asarray(np.ascontiguousarray(b_arr),
+                                       target.dtype)
+            h1[name] = new
+            continue
         if "w" in p:
             if not hist:
                 raise ValueError("solverstate has fewer history blobs than "
@@ -559,13 +590,23 @@ def load_caffemodel_params(path: str, params, cfg=None,
         new = dict(p)
         w = bl[0]
         try:
-            if recurrent and name in recurrent:
-                # recurrent blob order W_xc, b, W_hc; weights transposed
-                # vs our jnp-native [D,4H]/[H,4H] (recurrent_layer.cpp)
-                if len(bl) != 3:
-                    raise ValueError(f"{len(bl)} blobs for recurrent layer")
-                for key, b_arr in (("wx", bl[0].T), ("b", bl[1].reshape(-1)),
-                                   ("wh", bl[2].T)):
+            if (recurrent and name in recurrent) or "wx" in p:
+                # Recurrent layers are detected from the pytree itself
+                # ("wx" leaf) so every import path gets the transposes
+                # without needing the hints dict.  Blob order per
+                # FillUnrolledNet: LSTM W_xc, b_c, W_hc
+                # (lstm_layer.cpp); RNN W_xh, b_h, W_hh, W_ho, b_o
+                # (rnn_layer.cpp) — weights transposed vs our jnp-native
+                # [D,4H]/[H,4H] layout.
+                pairs = [("wx", True), ("b", False), ("wh", True)]
+                if "wo" in p:
+                    pairs += [("wo", True), ("bo", False)]
+                if len(bl) != len(pairs):
+                    raise ValueError(
+                        f"{len(bl)} blobs for recurrent layer "
+                        f"(expected {len(pairs)})")
+                for (key, transpose), blob in zip(pairs, bl):
+                    b_arr = blob.T if transpose else blob.reshape(-1)
                     target = np.asarray(p[key])
                     if b_arr.shape != target.shape:
                         raise ValueError(

@@ -99,13 +99,23 @@ def _warn_mismatched(path: str, report: dict) -> None:
             f"{report['mismatched']}")
 
 
-def restore_params(path: str, template_params):
+def restore_params(path: str, template_params, layout_hints=None):
     """Restore only the params subtree of a snapshot (for eval/deploy).
     `.caffemodel` paths (ours or the reference's) dispatch to the wire
-    importer; anything else is treated as an orbax train-state dir."""
+    importer; anything else is treated as an orbax train-state dir.
+    layout_hints: a net_layout_hints() dict (fc_after_pool/deconv_names/
+    recurrent) for structurally-correct caffemodel transposes — pass it
+    whenever a built Net is at hand; without it the MS-CNN name heuristic
+    applies."""
     if path.endswith(".caffemodel"):
         from mscnn_tpu.io import caffemodel as CM
-        out, report = CM.load_caffemodel_params(path, template_params)
+        kw = {}
+        if layout_hints:
+            kw = {"fc_after_pool": layout_hints.get("fc_after_pool"),
+                  "deconv_names": layout_hints.get(
+                      "deconv_names", ("conv4_3_2x",)),
+                  "recurrent": layout_hints.get("recurrent")}
+        out, report = CM.load_caffemodel_params(path, template_params, **kw)
         _warn_mismatched(path, report)
         return out
     if path.endswith((".h5", ".hdf5")):

@@ -185,9 +185,10 @@ _SHARE_KEYS = {
     "InnerProduct": ("w", "b"), "Scale": ("w", "b"),
     "PReLU": ("slope",), "Bias": ("b",), "BatchNorm": ("mean", "var"),
     "Embed": ("w", "b"), "Parameter": ("w",),
-    # recurrent blob order: x-weights, bias, h-weights (lstm_layer.cpp
-    # FillUnrolledNet's W_xc / b_c / W_hc)
-    "LSTM": ("wx", "b", "wh"), "RNN": ("wx", "b", "wh"),
+    # recurrent blob order per FillUnrolledNet param-name registration:
+    # LSTM W_xc / b_c / W_hc (lstm_layer.cpp); RNN W_xh / b_h / W_hh /
+    # W_ho / b_o (rnn_layer.cpp)
+    "LSTM": ("wx", "b", "wh"), "RNN": ("wx", "b", "wh", "wo", "bo"),
 }
 
 
@@ -270,7 +271,7 @@ class Net:
     def init(self, key) -> dict:
         params: dict = {}
         shapes = dict(self.input_shapes)
-        keys = iter(jax.random.split(key, max(len(self.layers) * 2, 2)))
+        keys = iter(jax.random.split(key, max(len(self.layers) * 5, 2)))
 
         for layer in self.layers:
             ltype = layer.get("type")
@@ -447,6 +448,13 @@ class Net:
                     "wh": _filler(rp.get("weight_filler"), next(keys),
                                   (hd, gd), hd),
                 }
+                if ltype == "RNN":
+                    # the o_t = tanh(W_ho h_t + b_o) output projection
+                    # (rnn_layer.cpp:204-215)
+                    params[name]["wo"] = _filler(
+                        rp.get("weight_filler"), next(keys), (hd, hd), hd)
+                    params[name]["bo"] = _filler(
+                        rp.get("bias_filler"), next(keys), (hd,), hd)
                 shapes[tops[0]] = (in_shape[0], in_shape[1], hd)
             elif ltype == "Python":
                 inst = _resolve_python_layer(layer)

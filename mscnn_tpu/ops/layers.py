@@ -393,7 +393,12 @@ def lstm(x_seq, params, h0=None, c0=None, cont=None):
 
 
 def rnn(x_seq, params, h0=None, cont=None):
-    """Vanilla tanh RNN: params {wx [D,H], wh [H,H], b [H]}.
+    """Caffe RNN (rnn_layer.cpp FillUnrolledNet):
+        h_t = tanh(x_t @ wx + h_{t-1} @ wh + b)
+        o_t = tanh(h_t @ wo + bo)          <- the layer's output
+    params {wx [D,H], b [H], wh [H,H], wo [H,H], bo [H]} (the reference's
+    W_xh, b_h, W_hh, W_ho, b_o blob order).  Returns (o_seq [T,N,H], h_T).
+    Omit wo/bo for the bare hidden-state recurrence (o_t = h_t).
     cont as in lstm()."""
     hdim = params["wh"].shape[0]
     n = x_seq.shape[1]
@@ -406,11 +411,13 @@ def rnn(x_seq, params, h0=None, cont=None):
             x, ct = xc
             h = h * ct[:, None]
         h = jnp.tanh(x @ params["wx"] + h @ params["wh"] + params["b"])
-        return h, h
+        o = jnp.tanh(h @ params["wo"] + params["bo"]) \
+            if "wo" in params else h
+        return h, o
 
     xs = x_seq if cont is None else (x_seq, cont)
-    hT, hs = lax.scan(step, h0, xs)
-    return hs, hT
+    hT, os_ = lax.scan(step, h0, xs)
+    return os_, hT
 
 
 # --------------------------------------------------------------------------

@@ -46,12 +46,16 @@ def _nchw_to_nhwc(a: np.ndarray) -> np.ndarray:
 
 
 def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
-                      train: bool = True,
-                      root_folder: str = "") -> Callable[[], Dict]:
+                      train: bool = True, root_folder: str = "",
+                      batch_size: Optional[int] = None
+                      ) -> Callable[[], Dict]:
     """Host batch source for one data layer: () -> {top: np.ndarray}.
 
     Mirrors the reference data layers' parameters (image_data_layer.cpp,
     hdf5_data_layer.cpp, dummy_data_layer.cpp); images arrive NHWC.
+    batch_size overrides the layer's own batch size (the CLI
+    --batch-size flag; for DummyData it replaces every top's leading
+    dim).
     """
     ltype = str(layer.get("type"))
     tops = [str(t) for t in PB.as_list(layer.get("top"))]
@@ -67,7 +71,8 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
             crop_size=int(tp.get("crop_size", 0)),
             mirror=bool(tp.get("mirror", False)))
         ds = SRC.ImageListDataset(
-            str(ip["source"]), int(ip.get("batch_size", 1)), tspec,
+            str(ip["source"]), batch_size or int(ip.get("batch_size", 1)),
+            tspec,
             root_folder=str(ip.get("root_folder", root_folder)),
             shuffle=bool(ip.get("shuffle", True)), seed=seed, train=train)
 
@@ -85,7 +90,8 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
         hp = layer.get("hdf5_data_param", {})
         with open(str(hp["source"])) as f:
             files = [ln.strip() for ln in f if ln.strip()]
-        ds = SRC.HDF5Dataset(files, int(hp.get("batch_size", 1)),
+        ds = SRC.HDF5Dataset(files,
+                             batch_size or int(hp.get("batch_size", 1)),
                              shuffle=bool(hp.get("shuffle", False)),
                              seed=seed)
 
@@ -115,6 +121,8 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
                 shapes.append((n, h, w, c))
             else:
                 shapes.append(tuple(dims))
+        if batch_size:
+            shapes = [(batch_size,) + tuple(sh[1:]) for sh in shapes]
         rng = np.random.RandomState(seed)
 
         def source():
@@ -158,7 +166,7 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
             fg_thr=float(wp.get("fg_threshold", 0.5)),
             bg_thr=float(wp.get("bg_threshold", 0.5)),
             context_pad=int(wp.get("context_pad", 0)),
-            batch_size=int(wp.get("batch_size", 32)),
+            batch_size=batch_size or int(wp.get("batch_size", 32)),
             seed=seed, tspec=tspec)
 
         def source():
@@ -193,9 +201,14 @@ def param_multipliers(net: NB.Net, params: dict) -> Tuple[dict, dict]:
         if not specs:
             continue
         keys = NB._SHARE_KEYS.get(str(layer.get("type")), ("w", "b"))
-        present = [k for k in keys if k in params[name]]
-        for i, k in enumerate(present):
-            if i < len(specs):
+        # specs pair with blob POSITIONS (caffe.proto ParamSpec order),
+        # so index by position in the full blob order — a layer whose
+        # earlier blob was shared away (owner holds the leaf) must not
+        # shift later specs onto the wrong blob
+        for i, k in enumerate(keys):
+            if i >= len(specs):
+                break
+            if k in params[name]:
                 lr[name][k] = float(specs[i].get("lr_mult", 1.0))
                 dk[name][k] = float(specs[i].get("decay_mult", 1.0))
     return lr, dk
@@ -296,7 +309,8 @@ def make_eval_step(net: NB.Net, mesh=None):
 
 
 def setup(net_path: str, sspec: S.SolverSpec, *, phase: str = "TRAIN",
-          seed: int = 0, weights: Optional[str] = None, mesh=None):
+          seed: int = 0, weights: Optional[str] = None, mesh=None,
+          batch_size: Optional[int] = None):
     """Build (state, step, batch_source, net) for a generic prototxt.
 
     Input shapes for init come from one probe batch of the data layer
@@ -314,7 +328,8 @@ def setup(net_path: str, sspec: S.SolverSpec, *, phase: str = "TRAIN",
             f"({'/'.join(DATA_LAYER_TYPES)}) and no MSCNN ImageGtData — "
             "nothing to train from")
     source = make_batch_source(probe_net, layer, seed=seed,
-                               train=phase == "TRAIN")
+                               train=phase == "TRAIN",
+                               batch_size=batch_size)
     first = source()
     if mesh is not None:
         n_dev = int(np.prod(mesh.devices.shape))
@@ -326,8 +341,13 @@ def setup(net_path: str, sspec: S.SolverSpec, *, phase: str = "TRAIN",
     net = NB.Net(net_path, phase=phase, input_shapes=input_shapes)
     params = net.init(jax.random.key(seed))
     if weights:
+        from mscnn_tpu.io import caffemodel as CM
         from mscnn_tpu.io import checkpoint as CKPT
-        params = CKPT.restore_params(weights, params)
+        # structural layout hints so fc-after-pool / deconv / recurrent
+        # blobs transpose correctly for THIS graph (not the MS-CNN name
+        # heuristic) when warm-starting from a .caffemodel
+        params = CKPT.restore_params(weights, params,
+                                     layout_hints=CM.net_layout_hints(net))
     lr_mults, decay_mults = param_multipliers(net, params)
     step = make_train_step(net, sspec, lr_mults=lr_mults,
                            decay_mults=decay_mults, mesh=mesh)

@@ -484,3 +484,61 @@ layer { name: "lstm" type: "LSTM" bottom: "x" top: "h"
     for k in ("wx", "b", "wh"):
         np.testing.assert_array_equal(np.asarray(back["lstm"][k]),
                                       np.asarray(params["lstm"][k]))
+
+
+def test_rnn_caffemodel_roundtrip_and_autodetect(tmp_path):
+    """Caffe RNN has 5 blobs (W_xh, b_h, W_hh, W_ho, b_o —
+    rnn_layer.cpp FillUnrolledNet) and recurrent pytrees are
+    self-identifying: no hints dict needed on either save or load."""
+    import jax
+
+    from mscnn_tpu.models.netbuilder import Net
+
+    text = '''
+layer { name: "x" type: "Input" top: "x"
+  input_param { shape { dim: 4 dim: 2 dim: 3 } } }
+layer { name: "rnn" type: "RNN" bottom: "x" top: "o"
+  recurrent_param { num_output: 5
+    weight_filler { type: "uniform" min: -1 max: 1 } } }
+'''
+    net = Net(text)
+    params = net.init(jax.random.key(0))
+    path = str(tmp_path / "r.caffemodel")
+    # NO recurrent hint passed anywhere:
+    n = CM.save_caffemodel(params, path)
+    assert n == 1
+    blobs = CM.parse_caffemodel(path)
+    shapes = [b.shape for b in blobs["rnn"]]
+    assert shapes == [(5, 3), (5,), (5, 5), (5, 5), (5,)]
+
+    zeroed = {"rnn": {k: np.zeros_like(v)
+                      for k, v in params["rnn"].items()}}
+    back, report = CM.load_caffemodel_params(path, zeroed, fc_after_pool={})
+    assert report["copied"] == ["rnn"] and not report["mismatched"]
+    for k in ("wx", "b", "wh", "wo", "bo"):
+        np.testing.assert_array_equal(np.asarray(back["rnn"][k]),
+                                      np.asarray(params["rnn"][k]))
+
+
+def test_solverstate_roundtrip_recurrent(tmp_path):
+    """Solver history for recurrent layers round-trips through the
+    SolverState wire format (positional blobs, transposed weights)."""
+    rng = np.random.RandomState(0)
+    h1 = {"lstm": {"wx": rng.randn(3, 20).astype(np.float32),
+                   "b": rng.randn(20).astype(np.float32),
+                   "wh": rng.randn(5, 20).astype(np.float32)},
+          "ip": {"w": rng.randn(6, 4).astype(np.float32),
+                 "b": rng.randn(4).astype(np.float32)}}
+    state = {"it": np.int32(17), "h1": h1}
+    path = str(tmp_path / "s.solverstate")
+    CM.save_solverstate(state, path)
+    template = {"it": np.int32(0),
+                "h1": {k: {kk: np.zeros_like(vv)
+                           for kk, vv in v.items()}
+                       for k, v in h1.items()}}
+    back, it = CM.load_solverstate_history(path, template, fc_after_pool={})
+    assert it == 17
+    for lname, leaves in h1.items():
+        for k, v in leaves.items():
+            np.testing.assert_allclose(
+                np.asarray(back["h1"][lname][k]), v, rtol=1e-6)

@@ -259,3 +259,39 @@ layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
     assert set(np.asarray(b["label"]).astype(int)) <= {0, 1, 2}
     state, metrics = step(state, batch_source(), jax.random.key(0))
     assert np.isfinite(float(jax.device_get(metrics["loss"])))
+
+
+def test_param_multipliers_positional_with_sharing(tmp_path):
+    """ParamSpecs pair with blob POSITIONS: when a non-owner layer's
+    weight blob is shared away, the second spec must still land on the
+    bias (not shift onto it)."""
+    net = tmp_path / "n.prototxt"
+    net.write_text("""
+layer { name: "a" type: "Input" top: "a"
+  input_param { shape { dim: 1 dim: 3 dim: 6 dim: 6 } } }
+layer { name: "ca" type: "Convolution" bottom: "a" top: "ca"
+  param { name: "sh_w" lr_mult: 1 } param { lr_mult: 7 decay_mult: 0 }
+  convolution_param { num_output: 2 kernel_size: 3 pad: 1
+    weight_filler { type: "xavier" } } }
+layer { name: "cb" type: "Convolution" bottom: "ca" top: "cb"
+  param { name: "sh_w2" lr_mult: 1 } param { lr_mult: 9 decay_mult: 0 }
+  convolution_param { num_output: 2 kernel_size: 3 pad: 1
+    weight_filler { type: "xavier" } } }
+""")
+    from mscnn_tpu.models.netbuilder import Net
+    built = Net(str(net), input_shapes={"a": (1, 6, 6, 3)})
+    params = built.init(jax.random.key(0))
+    lr, dk = G.param_multipliers(built, params)
+    # bias specs are position 1 in both layers
+    assert lr["ca"]["b"] == 7.0 and dk["ca"]["b"] == 0.0
+    assert lr["cb"]["b"] == 9.0 and dk["cb"]["b"] == 0.0
+
+
+def test_generic_cli_batch_size_override(tmp_path):
+    net_path = _write_net(tmp_path)
+    sspec = S.SolverSpec(base_lr=0.01, lr_policy="fixed")
+    state, step, batch_source, net = G.setup(net_path, sspec, batch_size=16)
+    b = jax.device_get(batch_source())
+    assert b["data"].shape[0] == 16 and b["label"].shape[0] == 16
+    state, metrics = step(state, batch_source(), jax.random.key(0))
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))

@@ -492,7 +492,8 @@ layer { name: "loss" type: "EuclideanLoss" bottom: "h" bottom: "target"
         return net.apply(prm, {"x": x, "target": target})["loss"]
 
     l0 = float(loss(params))
-    for _ in range(40):
-        params = jax.tree.map(lambda w, g: w - 0.1 * g,
-                              params, jax.grad(loss)(params))
+    step = jax.jit(lambda p: jax.tree.map(
+        lambda w, g: w - 0.2 * g, p, jax.grad(loss)(p)))
+    for _ in range(150):
+        params = step(params)
     assert float(loss(params)) < l0 * 0.5
