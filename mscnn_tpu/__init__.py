@@ -10,3 +10,10 @@ data-parallel training via shard_map over a jax.sharding.Mesh.
 """
 
 __version__ = "0.1.0"
+
+
+def layer_type_list():
+    """Every prototxt layer type the framework executes (pycaffe's
+    caffe.layer_type_list() analog)."""
+    from mscnn_tpu.models.netbuilder import layer_type_list as _ltl
+    return _ltl()

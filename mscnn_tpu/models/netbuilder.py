@@ -180,6 +180,42 @@ def _resolve_python_layer(layer_msg) -> object:
 DATA_LAYER_TYPES = ("Data", "ImageData", "HDF5Data", "MemoryData",
                     "DummyData", "WindowData")
 
+# Generic-builder dispatch (Net.apply_layer below), beyond the data
+# sources and ACTIVATIONS tables.
+_BUILDER_TYPES = (
+    "Input", "Silence", "Convolution", "Deconvolution", "InnerProduct",
+    "Pooling", "LRN", "Dropout", "Concat", "Eltwise", "Flatten", "Scale",
+    "PReLU", "BatchNorm", "Bias", "MVN", "Slice", "Reshape", "ArgMax",
+    "Tile", "Crop", "Reduction", "SPP", "Split", "Softmax", "Accuracy",
+    "SoftmaxWithLoss", "EuclideanLoss", "HingeLoss", "InfogainLoss",
+    "SigmoidCrossEntropyLoss", "MultinomialLogisticLoss",
+    "ContrastiveLoss", "LSTM", "RNN", "Embed", "BatchReindex",
+    "Parameter", "Python",
+)
+
+# Detection types served by the dedicated MS-CNN/cascade path
+# (config/zoo_import.py + models/mscnn.py + models/cascade.py), mirroring
+# the fork's custom layers (SURVEY §2.3).
+_DETECTION_TYPES = (
+    "ImageGtData", "DetectionLoss", "DetectionAccuracy", "BoxOutput",
+    "ProposalTarget", "ROIPooling", "ROIAlign", "SmoothL1Loss",
+    "BboxAccuracy", "DecodeBBox",
+)
+
+
+def layer_type_list():
+    """Sorted names of every prototxt layer type this framework executes
+    (generic builder + the MS-CNN model path).
+
+    Parity with pycaffe's ``caffe.layer_type_list()``
+    (/root/reference/python/caffe/_caffe.cpp:361-370, tested by
+    python/caffe/test/test_layer_type_list.py) — there it enumerates the
+    LayerRegistry; here the registry is the builder's dispatch plus the
+    detection-model importer.
+    """
+    return sorted(set(_BUILDER_TYPES) | set(ACTIVATIONS) |
+                  set(DATA_LAYER_TYPES) | set(_DETECTION_TYPES))
+
 _SHARE_KEYS = {
     "Convolution": ("w", "b"), "Deconvolution": ("w", "b"),
     "InnerProduct": ("w", "b"), "Scale": ("w", "b"),
