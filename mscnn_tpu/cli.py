@@ -251,11 +251,24 @@ def _time_layers(args):
     cost, the whole-graph numbers above it measure the fused reality."""
     from mscnn_tpu.config import prototxt as PB
     from mscnn_tpu.models.netbuilder import Net
+    from mscnn_tpu.train import generic as G
 
     net = Net(args.model, phase="TRAIN")
+    data_layer = G.find_data_layer(net)
+    if data_layer is not None:
+        # nets fed by a data layer (HDF5Data/ImageData/DummyData/...):
+        # probe one batch for the top shapes and values, like caffe time
+        # running the net's own data layer (and train/generic.setup)
+        src = G.make_batch_source(net, data_layer, train=True)
+        first = src()
+        net = Net(args.model, phase="TRAIN",
+                  input_shapes={k: tuple(v.shape)
+                                for k, v in first.items()})
+        inputs = {k: jnp.asarray(v) for k, v in first.items()}
+    else:
+        inputs = {n: jnp.zeros(sh, jnp.float32)
+                  for n, sh in net.inputs().items()}
     params = net.init(jax.random.key(0))
-    inputs = {n: jnp.zeros(sh, jnp.float32)
-              for n, sh in net.inputs().items()}
     blobs = net.apply(params, inputs)
     iters = args.iterations or 10
 
@@ -272,7 +285,7 @@ def _time_layers(args):
     tot_f = tot_b = 0.0
     for layer in net.layers:
         ltype = str(layer.get("type"))
-        if ltype in ("Input", "Data", "ImageData", "MemoryData", "Silence"):
+        if ltype in ("Input", "Silence") or ltype in G.DATA_LAYER_TYPES:
             continue
         name = str(layer.get("name"))
         bots = [blobs[str(b)] for b in PB.as_list(layer.get("bottom"))]

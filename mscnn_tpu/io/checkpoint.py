@@ -120,7 +120,12 @@ def restore_params(path: str, template_params, layout_hints=None):
         return out
     if path.endswith((".h5", ".hdf5")):
         from mscnn_tpu.io import hdf5_snapshot as H5
-        out, report = H5.load_hdf5_weights(path, template_params)
+        kw = {}
+        if layout_hints:
+            kw = {"fc_after_pool": layout_hints.get("fc_after_pool"),
+                  "deconv_names": layout_hints.get(
+                      "deconv_names", ("conv4_3_2x",))}
+        out, report = H5.load_hdf5_weights(path, template_params, **kw)
         _warn_mismatched(path, report)
         return out
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:

@@ -71,6 +71,30 @@ def load_hdf5_weights(path: str, params, *,
             w = np.asarray(g["0"], np.float32)
             new = dict(p)
             try:
+                if "wx" in p:
+                    # recurrent pytrees are self-identifying; blob order
+                    # and transposes as in CM.load_caffemodel_params
+                    # (LSTM W_xc, b_c, W_hc; RNN W_xh, b_h, W_hh, W_ho,
+                    # b_o — recurrent_layer.cpp FillUnrolledNet)
+                    pairs = [("wx", True), ("b", False), ("wh", True)]
+                    if "wo" in p:
+                        pairs += [("wo", True), ("bo", False)]
+                    if any(str(i) not in g for i in range(len(pairs))):
+                        raise ValueError(
+                            f"{len(g)} blobs for recurrent layer "
+                            f"(expected {len(pairs)})")
+                    for i, (key, transpose) in enumerate(pairs):
+                        blob = np.asarray(g[str(i)], np.float32)
+                        b_arr = blob.T if transpose else blob.reshape(-1)
+                        target = np.asarray(p[key])
+                        if b_arr.shape != target.shape:
+                            raise ValueError(
+                                f"{key}: {b_arr.shape} vs {target.shape}")
+                        new[key] = jnp.asarray(
+                            np.ascontiguousarray(b_arr), target.dtype)
+                    out[name] = new
+                    report["copied"].append(name)
+                    continue
                 if "w" in p:
                     target = np.asarray(p["w"])
                     if w.ndim == 4 and name in deconv_names:
@@ -148,6 +172,26 @@ def load_hdf5_solverstate(path: str, state_template, *,
     h1 = {}
     for name, p in state_template["h1"].items():
         new = dict(p)
+        if "wx" in p:
+            # recurrent history blobs mirror the weight blob order/layout
+            # (W_xh/W_xc first, transposed — see CM._iter_layer_blobs)
+            pairs = [("wx", True), ("b", False), ("wh", True)]
+            if "wo" in p:
+                pairs += [("wo", True), ("bo", False)]
+            if len(hist) < len(pairs):
+                raise ValueError("HDF5 solverstate has fewer history "
+                                 "blobs than the template expects")
+            for key, transpose in pairs:
+                blob = hist.pop(0)
+                b_arr = blob.T if transpose else blob.reshape(-1)
+                target = np.asarray(p[key])
+                if b_arr.shape != target.shape:
+                    raise ValueError(
+                        f"{name}.{key}: {b_arr.shape} vs {target.shape}")
+                new[key] = jnp.asarray(np.ascontiguousarray(b_arr),
+                                       target.dtype)
+            h1[name] = new
+            continue
         if "w" in p:
             if not hist:
                 raise ValueError("HDF5 solverstate has fewer history "
@@ -168,6 +212,9 @@ def load_hdf5_solverstate(path: str, state_template, *,
                 raise ValueError(f"{name}: {wt.shape} vs {target.shape}")
             new["w"] = jnp.asarray(wt, target.dtype)
             if "b" in p:
+                if not hist:
+                    raise ValueError("HDF5 solverstate has fewer history "
+                                     "blobs than the template expects")
                 b = hist.pop(0).reshape(-1)
                 new["b"] = jnp.asarray(b, np.asarray(p["b"]).dtype)
         h1[name] = new

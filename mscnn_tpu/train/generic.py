@@ -74,7 +74,8 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
             str(ip["source"]), batch_size or int(ip.get("batch_size", 1)),
             tspec,
             root_folder=str(ip.get("root_folder", root_folder)),
-            shuffle=bool(ip.get("shuffle", True)), seed=seed, train=train)
+            # caffe.proto ImageDataParameter.shuffle default = false
+            shuffle=bool(ip.get("shuffle", False)), seed=seed, train=train)
 
         def source():
             b = ds.next_batch()
