@@ -408,6 +408,41 @@ def cmd_time(args):
     return 0
 
 
+def _int8_quantize(params, cfg, image_dir, ncal):
+    """PTQ int8 trunk calibration from the first images of a directory.
+    Returns (params, cfg) or None when no image is readable."""
+    import glob
+    import os
+
+    import cv2
+    import numpy as _np
+
+    from mscnn_tpu.ops import quant as Q
+
+    cal_paths = sorted(
+        glob.glob(os.path.join(image_dir, "*.png")) +
+        glob.glob(os.path.join(image_dir, "*.jpg")))[:ncal]
+    net_h, net_w = cfg.input_hw
+    mean = _np.asarray([104.0, 117.0, 123.0], _np.float32)
+    cals = []
+    for p in cal_paths:
+        im = cv2.imread(p, cv2.IMREAD_COLOR)
+        if im is None:
+            continue
+        cals.append(cv2.resize(im, (net_w, net_h)).astype(_np.float32)
+                    - mean)
+    if not cals:
+        return None
+    scales = Q.calibrate_trunk_scales(
+        params, cfg, _np.stack(cals),
+        include_conv1=not (cfg.pallas_conv1 or cfg.s2d_conv1))
+    params = Q.quantize_trunk(params, scales)
+    cfg = dataclasses.replace(cfg, int8_trunk=True)
+    print(f"int8 trunk: calibrated {len(scales)} layers from "
+          f"{len(cals)} images")
+    return params, cfg
+
+
 def cmd_detect(args):
     """Batch detection over an image directory -> KITTI label files
     (the run_mscnn_detection.m + writeDetForEval.m pipeline)."""
@@ -424,64 +459,69 @@ def cmd_detect(args):
 
     from mscnn_tpu.models.cascade import CascadeConfig
 
-    if args.model:
-        cfg = Z.deploy_model_from_prototxt(args.model)
-    else:
-        cfg = zoo.get(args.zoo or "kitti_car/mscnn-7s-576-2x", deploy=True)
-    ccfg = cfg if isinstance(cfg, CascadeConfig) else None
-    if ccfg is not None:
-        cfg = ccfg.base
-    if args.bf16:
-        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
-    cfg = _apply_conv1(cfg, args)
-    if ccfg is not None:
-        ccfg = dataclasses.replace(ccfg, base=cfg)
+    compiled = None
+    if getattr(args, "compiled", None):
+        # AOT serving: the artifact carries program + weights + DetectSpec;
+        # every model/weights/precision flag is baked in at compile time
+        from mscnn_tpu.io import aot
+        if int(getattr(args, "devices", 1) or 1) > 1:
+            print("--compiled artifacts are single-program exports; "
+                  "drop --devices")
+            return 1
+        compiled = aot.load_deploy(args.compiled)
+        num_classes = int(compiled.meta["num_classes"])
+        if args.score_thr:
+            print("note: --score-thr is baked into the artifact at "
+                  "compile time; runtime flag ignored")
 
-    if ccfg is not None:
-        from mscnn_tpu.models import cascade as CC
-        params = CC.init_params(jax.random.key(0), ccfg)
-    else:
-        params = M.init_params(jax.random.key(0), cfg)
-    if args.weights:
-        params = CKPT.restore_params(args.weights, params)
+    if compiled is None:
+        if args.model:
+            cfg = Z.deploy_model_from_prototxt(args.model)
+        else:
+            cfg = zoo.get(args.zoo or "kitti_car/mscnn-7s-576-2x",
+                          deploy=True)
+        ccfg = cfg if isinstance(cfg, CascadeConfig) else None
+        if ccfg is not None:
+            cfg = ccfg.base
+        if args.bf16:
+            cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        cfg = _apply_conv1(cfg, args)
+        if ccfg is not None:
+            ccfg = dataclasses.replace(ccfg, base=cfg)
 
-    if getattr(args, "int8", False):
+        if ccfg is not None:
+            from mscnn_tpu.models import cascade as CC
+            params = CC.init_params(jax.random.key(0), ccfg)
+        else:
+            params = M.init_params(jax.random.key(0), cfg)
+        if args.weights:
+            params = CKPT.restore_params(args.weights, params)
+        num_classes = cfg.num_classes
+
+    if compiled is None and getattr(args, "int8", False):
         if ccfg is not None:
             print("--int8 currently covers the plain deploy trunk, not "
                   "cascades")
             return 1
-        # PTQ calibration from the first images of the run itself
-        import numpy as _np
-        from mscnn_tpu.ops import quant as Q
         ncal = max(int(getattr(args, "calib_images", 4) or 4), 1)
-        cal_paths = sorted(
-            glob.glob(os.path.join(args.image_dir, "*.png")) +
-            glob.glob(os.path.join(args.image_dir, "*.jpg")))[:ncal]
-        net_h, net_w = cfg.input_hw
-        mean = _np.asarray([104.0, 117.0, 123.0], _np.float32)
-        cals = []
-        for p in cal_paths:
-            im = cv2.imread(p, cv2.IMREAD_COLOR)
-            if im is None:
-                continue
-            cals.append(cv2.resize(im, (net_w, net_h)).astype(_np.float32)
-                        - mean)
-        if not cals:
+        quantized = _int8_quantize(params, cfg, args.image_dir, ncal)
+        if quantized is None:
             print("no readable calibration images")
             return 1
-        scales = Q.calibrate_trunk_scales(
-            params, cfg, _np.stack(cals),
-            include_conv1=not (cfg.pallas_conv1 or cfg.s2d_conv1))
-        params = Q.quantize_trunk(params, scales)
-        cfg = dataclasses.replace(cfg, int8_trunk=True)
-        print(f"int8 trunk: calibrated {len(scales)} layers from "
-              f"{len(cals)} images")
+        params, cfg = quantized
 
     names = args.class_names.split(",") if args.class_names else \
-        I.KITTI_CLASS_NAMES["kitti_car"][: cfg.num_classes]
+        I.KITTI_CLASS_NAMES["kitti_car"][: num_classes]
     spec = I.DetectSpec(score_thr=args.score_thr)
     n_dev = int(getattr(args, "devices", 1) or 1)
-    if n_dev > 1:
+    if compiled is not None:
+        if compiled.batch > 1:
+            # throughput artifact: reuse the grouped/padded batch loop
+            n_dev = compiled.batch
+            run_detect_batch = compiled.detect_many
+        else:
+            run_detect = compiled.detect
+    elif n_dev > 1:
         # data-parallel serving: one sharded deploy call per n_dev images
         from mscnn_tpu.parallel import data_parallel_mesh
         mesh = data_parallel_mesh(n_dev)
@@ -722,6 +762,63 @@ def cmd_export(args):
         params = CKPT.restore_params(args.weights, params)
     n = CM.save_caffemodel(jax.device_get(params), args.output)
     print(f"Wrote {n} layers to {args.output}")
+    return 0
+
+
+def cmd_compile(args):
+    """AOT-compile the deploy serving graph to a portable artifact dir
+    (io/aot.py): jax.export StableHLO program + weights + metadata.
+
+    The TPU-native analog of shipping mscnn_deploy.prototxt +
+    .caffemodel to a serving host (run_mscnn_detection.m:24-27) — except
+    the host needs no model code, and the artifact can be cross-compiled
+    for a platform the build machine lacks (--platforms tpu)."""
+    from mscnn_tpu import inference as I
+    from mscnn_tpu.config import zoo_import as Z
+    from mscnn_tpu.io import aot
+    from mscnn_tpu.io import checkpoint as CKPT
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+    from mscnn_tpu.models.cascade import CascadeConfig
+
+    if args.model:
+        cfg = Z.deploy_model_from_prototxt(args.model)
+    else:
+        cfg = zoo.get(args.zoo or "kitti_car/mscnn-8s-768-trainval",
+                      deploy=True)
+    if isinstance(cfg, CascadeConfig):
+        print("compile currently covers the plain deploy graph, not "
+              "cascades")
+        return 1
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    cfg = _apply_conv1(cfg, args)
+    params = M.init_params(jax.random.key(0), cfg)
+    if args.weights:
+        params = CKPT.restore_params(args.weights, params)
+    if getattr(args, "int8", False):
+        if not args.calib_dir:
+            print("--int8 needs --calib-dir (images for PTQ calibration)")
+            return 1
+        quantized = _int8_quantize(params, cfg, args.calib_dir,
+                                   max(int(args.calib_images or 4), 1))
+        if quantized is None:
+            print("no readable calibration images in --calib-dir")
+            return 1
+        params, cfg = quantized
+    import os
+
+    spec = I.DetectSpec(score_thr=args.score_thr)
+    platforms = args.platforms.split(",") if args.platforms else None
+    aot.export_deploy(params, cfg, args.output, spec=spec,
+                      platforms=platforms,
+                      batch=max(int(args.batch or 1), 1))
+    with open(os.path.join(args.output, "meta.json")) as f:
+        meta = json.load(f)
+    print(f"Wrote AOT artifact to {args.output} "
+          f"(platforms={meta['platforms']}, "
+          f"{meta['param_leaves']} param leaves); serve with "
+          f"`mscnn detect --compiled {args.output} ...`")
     return 0
 
 
@@ -981,6 +1078,10 @@ def main(argv=None):
                        help="post-training int8 trunk (ops/quant.py), "
                             "calibrated from the first --calib-images")
     p_det.add_argument("--calib-images", type=int, default=4)
+    p_det.add_argument("--compiled",
+                       help="serve from an AOT artifact directory "
+                            "(mscnn compile); model/weights flags are "
+                            "baked into the artifact")
     _add_common(p_det)
     p_det.set_defaults(fn=cmd_detect)
 
@@ -1060,6 +1161,28 @@ def main(argv=None):
     p_exp.add_argument("-o", "--output", required=True,
                        help="output .caffemodel path")
     p_exp.set_defaults(fn=cmd_export)
+
+    p_cmp = sub.add_parser(
+        "compile", help="AOT-compile the deploy graph to a portable "
+                        "serving artifact (jax.export StableHLO + weights)")
+    _add_common(p_cmp)
+    p_cmp.add_argument("-o", "--output", required=True,
+                       help="artifact output directory")
+    p_cmp.add_argument("--platforms",
+                       help="comma list of target platforms for "
+                            "cross-compilation, e.g. tpu or tpu,cpu "
+                            "(default: this host's platform)")
+    p_cmp.add_argument("--score-thr", type=float, default=0.0)
+    p_cmp.add_argument("--batch", type=int, default=1,
+                       help="images per serving call baked into the "
+                            "program (1 = latency shape; bench.py's "
+                            "throughput protocol uses 4)")
+    p_cmp.add_argument("--int8", action="store_true",
+                       help="post-training int8 trunk; needs --calib-dir")
+    p_cmp.add_argument("--calib-dir",
+                       help="image directory for int8 PTQ calibration")
+    p_cmp.add_argument("--calib-images", type=int, default=4)
+    p_cmp.set_defaults(fn=cmd_compile)
 
     p_rs = sub.add_parser(
         "resize_images", help="batch resize/center-crop an image dir or "

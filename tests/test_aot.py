@@ -1,0 +1,141 @@
+"""AOT deploy artifact (io/aot.py): jax.export round-trip of the
+single-dispatch serving graph + raw-byte param serialization.
+
+Reference analog: the shipped deploy bundle mscnn_deploy.prototxt +
+.caffemodel that run_mscnn_detection.m loads (examples/kitti_car/
+run_mscnn_detection.m:24-27); here the serialized artifact carries the
+whole compiled program, not just the config."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mscnn_tpu import inference as I
+from mscnn_tpu.io import aot
+from mscnn_tpu.models import mscnn as M
+from mscnn_tpu.models import zoo
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = zoo.tiny_test_config()
+    params = M.init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def test_params_raw_byte_roundtrip_preserves_bf16(tmp_path):
+    tree = {"conv": {"w": jnp.ones((2, 3), jnp.bfloat16) * 1.5,
+                     "b": jnp.arange(3, dtype=jnp.float32)},
+            "fc": {"w": jnp.full((4,), 7, jnp.int8)}}
+    n = aot.save_params(tree, str(tmp_path / "p.npz"),
+                        str(tmp_path / "p.json"))
+    assert n == 3
+    back = aot.load_params(str(tmp_path / "p.npz"), str(tmp_path / "p.json"))
+    for path_a, path_b in zip(jax.tree_util.tree_flatten_with_path(tree)[0],
+                              jax.tree_util.tree_flatten_with_path(back)[0]):
+        assert path_a[0] == path_b[0]
+        a, b = np.asarray(path_a[1]), path_b[1]
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_export_load_detect_matches_inference(tiny, tmp_path):
+    cfg, params = tiny
+    spec = I.DetectSpec(max_per_class=8)
+    out = str(tmp_path / "artifact")
+    aot.export_deploy(params, cfg, out, spec=spec)
+    for f in ("deploy.stablehlo", "params.npz", "params_meta.json",
+              "meta.json"):
+        assert os.path.isfile(os.path.join(out, f)), f
+
+    compiled = aot.load_deploy(out)
+    assert compiled.meta["format"] == "mscnn-tpu-aot-v1"
+    assert compiled.meta["input_hw"] == list(cfg.input_hw)
+
+    rng = np.random.RandomState(0)
+    e2e = I.make_e2e_forward(params, cfg, spec)
+    for shape in ((80, 120, 3), (64, 96, 3)):
+        img = rng.randint(0, 255, shape).astype(np.uint8)
+        ref = I.detect(params, img, cfg, spec, e2e_fwd=e2e)
+        got = compiled.detect(img)
+        for k in ("boxes", "scores", "valid", "proposals",
+                  "proposal_scores", "proposal_valid"):
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-5,
+                                       atol=1e-5, err_msg=f"aot {k}")
+
+
+def test_batched_export_matches_detect_batch(tiny, tmp_path):
+    """batch>1 artifact (throughput serving shape): per-image results
+    match inference.detect_batch, including the padded tail group."""
+    cfg, params = tiny
+    spec = I.DetectSpec(max_per_class=8)
+    out = str(tmp_path / "b2")
+    aot.export_deploy(params, cfg, out, spec=spec, batch=2)
+    compiled = aot.load_deploy(out)
+    assert compiled.batch == 2
+
+    rng = np.random.RandomState(1)
+    imgs = [rng.randint(0, 255, (60 + 4 * i, 90, 3)).astype(np.uint8)
+            for i in range(3)]   # 3 images -> one full + one padded group
+    ref = I.detect_batch(params, imgs, cfg, spec)
+    got = compiled.detect_many(imgs)
+    assert len(got) == 3
+    for r, g in zip(ref, got):
+        for k in ("boxes", "scores", "valid", "proposals",
+                  "proposal_scores", "proposal_valid"):
+            np.testing.assert_allclose(g[k], r[k], rtol=1e-4, atol=1e-4,
+                                       err_msg=f"batched aot {k}")
+    # single-image entry point routes through the batched program
+    one = compiled.detect(imgs[0])
+    for k in ("boxes", "scores", "valid"):
+        np.testing.assert_allclose(one[k], ref[0][k], rtol=1e-4, atol=1e-4)
+
+
+def test_cli_compile_then_detect_compiled(tmp_path, capsys):
+    """`mscnn compile` -> `mscnn detect --compiled`: the AOT serving path
+    writes the same KITTI label files as the regular detect path."""
+    import cv2
+
+    from mscnn_tpu import cli
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+
+    art = str(tmp_path / "artifact")
+    rc = cli.main(["compile", "--zoo", "tiny-test", "-o", art])
+    assert rc == 0
+    assert "Wrote AOT artifact" in capsys.readouterr().out
+
+    out_ref = tmp_path / "out_ref"
+    out_aot = tmp_path / "out_aot"
+    base = ["--image-dir", str(img_dir), "--class-names", "bg,car,van"]
+    assert cli.main(["detect", "--output-dir", str(out_ref),
+                     "--zoo", "tiny-test"] + base) == 0
+    assert cli.main(["detect", "--output-dir", str(out_aot),
+                     "--compiled", art] + base) == 0
+    for i in range(2):
+        ref = (out_ref / f"{i:06d}.txt").read_text()
+        got = (out_aot / f"{i:06d}.txt").read_text()
+        assert got == ref, f"image {i} labels diverge"
+
+
+def test_cross_platform_export_targets_tpu_from_cpu(tiny, tmp_path):
+    """Cross-lowering: a CPU build host can emit the TPU serving artifact
+    (jax.export platforms=- the serving fleet never needs model code)."""
+    cfg, params = tiny
+    out = str(tmp_path / "tpu_artifact")
+    aot.export_deploy(params, cfg, out, platforms=("tpu",))
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["platforms"] == ["tpu"]
+    # deserializes fine; calling it on CPU must fail with a platform error
+    compiled = aot.load_deploy(out)
+    assert compiled.exported.platforms == ("tpu",)
