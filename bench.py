@@ -223,7 +223,49 @@ def main():
     }))
 
 
+def _wait_for_chip(deadline_s: float) -> bool:
+    """Bounded pre-flight for the tunnel's hang-mode outage (observed
+    2026-08-17, >1.5 h: jax.devices() blocks forever with no error, so
+    the exception-based retry below never fires).  Probes in short-lived
+    subprocesses — a hung probe is killed by its timeout, this process
+    stays clean.  The probe asserts a non-CPU platform: with a stripped
+    env the axon sitecustomize no-ops and jax silently falls back to
+    CPU, which would fake a recovery."""
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp\n"
+             "assert jax.devices()[0].platform != 'cpu'\n"
+             "jnp.ones((8, 8)).sum().block_until_ready()\n"
+             "print('PROBE_OK')\n")
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=90)
+            if "PROBE_OK" in r.stdout:
+                return True
+            reason = (r.stderr or r.stdout).strip()[-120:]
+        except subprocess.TimeoutExpired:
+            reason = "probe hung 90 s"
+        attempt += 1
+        if time.monotonic() - t0 > deadline_s:
+            return False
+        print(f"chip probe {attempt} failed ({reason}); retrying",
+              file=sys.stderr)
+        time.sleep(20)
+
+
 if __name__ == "__main__":
+    _wait = float(os.environ.get("MSCNN_BENCH_WAIT_S", "480"))
+    if _wait > 0 and not _wait_for_chip(_wait):
+        import sys
+
+        print(f"chip unreachable after {_wait:.0f}s of pre-flight probes; "
+              "tunnel outage — rerun bench.py when it recovers",
+              file=sys.stderr)
+        sys.exit(2)
     try:
         main()
     except Exception as e:

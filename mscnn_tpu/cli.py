@@ -786,17 +786,25 @@ def cmd_compile(args):
     else:
         cfg = zoo.get(args.zoo or "kitti_car/mscnn-8s-768-trainval",
                       deploy=True)
-    if isinstance(cfg, CascadeConfig):
-        print("compile currently covers the plain deploy graph, not "
-              "cascades")
-        return 1
+    ccfg = cfg if isinstance(cfg, CascadeConfig) else None
+    if ccfg is not None:
+        cfg = ccfg.base
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     cfg = _apply_conv1(cfg, args)
-    params = M.init_params(jax.random.key(0), cfg)
+    if ccfg is not None:
+        ccfg = dataclasses.replace(ccfg, base=cfg)
+        from mscnn_tpu.models import cascade as CC
+        params = CC.init_params(jax.random.key(0), ccfg)
+    else:
+        params = M.init_params(jax.random.key(0), cfg)
     if args.weights:
         params = CKPT.restore_params(args.weights, params)
     if getattr(args, "int8", False):
+        if ccfg is not None:
+            print("--int8 currently covers the plain deploy trunk, not "
+                  "cascades")
+            return 1
         if not args.calib_dir:
             print("--int8 needs --calib-dir (images for PTQ calibration)")
             return 1
@@ -812,7 +820,7 @@ def cmd_compile(args):
     platforms = args.platforms.split(",") if args.platforms else None
     aot.export_deploy(params, cfg, args.output, spec=spec,
                       platforms=platforms,
-                      batch=max(int(args.batch or 1), 1))
+                      batch=max(int(args.batch or 1), 1), cascade=ccfg)
     with open(os.path.join(args.output, "meta.json")) as f:
         meta = json.load(f)
     print(f"Wrote AOT artifact to {args.output} "

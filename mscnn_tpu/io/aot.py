@@ -111,10 +111,57 @@ def make_batched_e2e(params, cfg, spec, *, batch: int,
     return jax.jit(fwd)
 
 
+def make_cascade_e2e(params, ccfg, spec, *, batch: int = 1,
+                     mean_values=(104.0, 117.0, 123.0)):
+    """Cascade single-dispatch serving graph (staged DecodeBBox
+    refinement, class-agnostic final regression, ensemble or last-stage
+    scoring per ccfg.ensemble_avg — inference.detect_cascade semantics
+    in ONE jitted program)."""
+    import dataclasses as _dc
+
+    from mscnn_tpu import inference as I
+    from mscnn_tpu.models import cascade as CC
+
+    cfg = ccfg.base
+    # the final refinement decodes with the LAST stage's tight bbox std
+    cfg_last = _dc.replace(cfg, bbox_mean=(0.0,) * 4,
+                           bbox_std=ccfg.stages[-1].bbox_std)
+    mean = jnp.asarray(mean_values, jnp.float32)
+    R = cfg.proposal.max_out
+    keys = ("rois", "roi_scores", "roi_valid", "cls_pred", "bbox_pred",
+            "cls_prob")
+
+    def fwd(p, imgs_u8, ratios, orig_wh):
+        x = imgs_u8.astype(jnp.float32) - mean
+        o = dict(CC.deploy_forward(p, x[None] if batch == 1 else x, ccfg))
+        if ccfg.ensemble_avg:
+            o["cls_prob"] = o.pop("cls_prob_avg")
+        else:
+            o.pop("cls_prob_avg")
+        # class-agnostic 8-wide bbox_pred: expand the fg slot per class
+        o["bbox_pred"] = jnp.tile(o["bbox_pred"][:, 4:8],
+                                  (1, cfg.num_classes))
+        if batch == 1:
+            sub = {k: o[k] for k in keys if k in o}
+            boxes, scores, valid = I.postprocess(sub, ratios, orig_wh,
+                                                 cfg_last, spec)
+        else:
+            sub = {k: o[k].reshape((batch, R) + o[k].shape[1:])
+                   for k in keys if k in o}
+            boxes, scores, valid = jax.vmap(
+                lambda s, r, w: I.postprocess(s, r, w, cfg_last, spec))(
+                    sub, ratios, orig_wh)
+        return {"boxes": boxes, "scores": scores, "valid": valid,
+                "rois": sub["rois"], "roi_scores": sub["roi_scores"],
+                "roi_valid": sub["roi_valid"]}
+
+    return jax.jit(fwd)
+
+
 def export_deploy(params, cfg, out_dir: str, *, spec=None,
                   mean_values=(104.0, 117.0, 123.0),
                   platforms: Optional[Sequence[str]] = None,
-                  batch: int = 1) -> str:
+                  batch: int = 1, cascade=None) -> str:
     """Lower the e2e serving graph (inference.make_e2e_forward: uint8
     net-size image -> final per-class detections) to a serialized
     Exported and write the artifact directory. Returns out_dir.
@@ -127,20 +174,28 @@ def export_deploy(params, cfg, out_dir: str, *, spec=None,
 
     batch: images per serving call (static). batch=1 exports the
     latency-optimal single-image program; batch>1 the throughput shape.
+
+    cascade: a CascadeConfig for staged models (then cfg must be
+    cascade.base) — exports the detect_cascade semantics in one program.
     """
     from mscnn_tpu import inference as I
 
     spec = spec or I.DetectSpec()
     os.makedirs(out_dir, exist_ok=True)
     net_h, net_w = cfg.input_hw
-    if batch == 1:
+    if cascade is not None:
+        fwd = make_cascade_e2e(params, cascade, spec, batch=batch,
+                               mean_values=mean_values)
+    elif batch == 1:
         fwd = I.make_e2e_forward(params, cfg, spec,
                                  mean_values=mean_values)
-        img_sds = jax.ShapeDtypeStruct((net_h, net_w, 3), jnp.uint8)
-        vec_sds = jax.ShapeDtypeStruct((2,), jnp.float32)
     else:
         fwd = make_batched_e2e(params, cfg, spec, batch=batch,
                                mean_values=mean_values)
+    if batch == 1:
+        img_sds = jax.ShapeDtypeStruct((net_h, net_w, 3), jnp.uint8)
+        vec_sds = jax.ShapeDtypeStruct((2,), jnp.float32)
+    else:
         img_sds = jax.ShapeDtypeStruct((batch, net_h, net_w, 3), jnp.uint8)
         vec_sds = jax.ShapeDtypeStruct((batch, 2), jnp.float32)
     args = (
@@ -162,6 +217,7 @@ def export_deploy(params, cfg, out_dir: str, *, spec=None,
         "platforms": list(exported.platforms),
         "input_hw": [int(net_h), int(net_w)],
         "batch": int(batch),
+        "cascade": cascade is not None,
         "num_classes": int(cfg.num_classes),
         "mean_values": [float(m) for m in mean_values],
         "detect_spec": {

@@ -95,6 +95,29 @@ def test_batched_export_matches_detect_batch(tiny, tmp_path):
         np.testing.assert_allclose(one[k], ref[0][k], rtol=1e-4, atol=1e-4)
 
 
+def test_cascade_export_matches_detect_cascade(tmp_path):
+    """Cascade artifact: staged DecodeBBox refinement + last-stage/
+    ensemble scoring in one serialized program, per-image results match
+    inference.detect_cascade."""
+    from mscnn_tpu.models import cascade as CC
+
+    ccfg = CC.CascadeConfig(base=zoo.tiny_test_config())
+    params = CC.init_params(jax.random.key(0), ccfg)
+    spec = I.DetectSpec(max_per_class=8)
+    out = str(tmp_path / "casc")
+    aot.export_deploy(params, ccfg.base, out, spec=spec, cascade=ccfg)
+    compiled = aot.load_deploy(out)
+    assert compiled.meta["cascade"] is True
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (70, 100, 3)).astype(np.uint8)
+    ref = I.detect_cascade(params, img, ccfg, spec)
+    got = compiled.detect(img)
+    for k in ("boxes", "scores", "valid"):
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4,
+                                   err_msg=f"cascade aot {k}")
+
+
 def test_cli_compile_then_detect_compiled(tmp_path, capsys):
     """`mscnn compile` -> `mscnn detect --compiled`: the AOT serving path
     writes the same KITTI label files as the regular detect path."""
