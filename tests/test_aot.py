@@ -117,6 +117,20 @@ def test_cascade_export_matches_detect_cascade(tmp_path):
         np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4,
                                    err_msg=f"cascade aot {k}")
 
+    # batched cascade artifact: same per-image results, padded tail
+    out2 = str(tmp_path / "casc_b2")
+    aot.export_deploy(params, ccfg.base, out2, spec=spec, cascade=ccfg,
+                      batch=2)
+    compiled2 = aot.load_deploy(out2)
+    imgs = [img, rng.randint(0, 255, (64, 96, 3)).astype(np.uint8),
+            rng.randint(0, 255, (80, 110, 3)).astype(np.uint8)]
+    got_many = compiled2.detect_many(imgs)
+    for im, g in zip(imgs, got_many):
+        r = I.detect_cascade(params, im, ccfg, spec)
+        for k in ("boxes", "scores", "valid"):
+            np.testing.assert_allclose(g[k], r[k], rtol=1e-4, atol=1e-4,
+                                       err_msg=f"batched cascade aot {k}")
+
 
 def test_cli_compile_then_detect_compiled(tmp_path, capsys):
     """`mscnn compile` -> `mscnn detect --compiled`: the AOT serving path
