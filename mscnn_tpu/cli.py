@@ -253,21 +253,29 @@ def _time_layers(args):
     from mscnn_tpu.models.netbuilder import Net
     from mscnn_tpu.train import generic as G
 
+    _SOURCED = ("ImageData", "HDF5Data", "DummyData", "WindowData")
     net = Net(args.model, phase="TRAIN")
     data_layer = G.find_data_layer(net)
+    inputs = {}
     if data_layer is not None:
-        # nets fed by a data layer (HDF5Data/ImageData/DummyData/...):
-        # probe one batch for the top shapes and values, like caffe time
-        # running the net's own data layer (and train/generic.setup)
+        ltype = str(data_layer.get("type"))
+        if ltype not in _SOURCED:
+            print(f"time --layers cannot source a {ltype!r} layer "
+                  "(no host reader; convert with `mscnn "
+                  "convert_imageset` or use ImageData/HDF5Data)")
+            return 1
+        # nets fed by a readable data layer: probe one batch for the top
+        # shapes and values, like caffe time running the net's own data
+        # layer (and train/generic.setup)
         src = G.make_batch_source(net, data_layer, train=True)
         first = src()
         net = Net(args.model, phase="TRAIN",
                   input_shapes={k: tuple(v.shape)
                                 for k, v in first.items()})
         inputs = {k: jnp.asarray(v) for k, v in first.items()}
-    else:
-        inputs = {n: jnp.zeros(sh, jnp.float32)
-                  for n, sh in net.inputs().items()}
+    # Input-layer blobs (possibly alongside a data layer) zero-fill
+    for n, sh in net.inputs().items():
+        inputs.setdefault(n, jnp.zeros(sh, jnp.float32))
     params = net.init(jax.random.key(0))
     blobs = net.apply(params, inputs)
     iters = args.iterations or 10
@@ -470,9 +478,17 @@ def cmd_detect(args):
             return 1
         compiled = aot.load_deploy(args.compiled)
         num_classes = int(compiled.meta["num_classes"])
-        if args.score_thr:
-            print("note: --score-thr is baked into the artifact at "
-                  "compile time; runtime flag ignored")
+        ignored = [f for f, on in (
+            ("--model", args.model), ("--zoo", args.zoo),
+            ("--weights", args.weights), ("--bf16", args.bf16),
+            ("--int8", getattr(args, "int8", False)),
+            ("--conv1", args.conv1 != "auto"),
+            ("--score-thr", bool(args.score_thr)),
+        ) if on]
+        if ignored:
+            print(f"note: {', '.join(ignored)} ignored — the artifact "
+                  "bakes model/weights/precision/DetectSpec at compile "
+                  "time; recompile with `mscnn compile` to change them")
 
     if compiled is None:
         if args.model:

@@ -232,14 +232,8 @@ def detect_batch(params, images_bgr: Sequence[np.ndarray],
 
     post_cfg = cfg
     if cascade is not None:
-        import dataclasses as _dc
-        # final refinement decodes with the LAST stage's tight bbox std;
-        # class-agnostic 8-wide bbox_pred expands to every class column
-        post_cfg = _dc.replace(cfg, bbox_mean=(0.0,) * 4,
-                               bbox_std=cascade.stages[-1].bbox_std)
-        outputs = dict(outputs)
-        outputs["bbox_pred"] = jnp.tile(outputs["bbox_pred"][:, 4:8],
-                                        (1, cfg.num_classes))
+        post_cfg = cascade_post_cfg(cascade)
+        outputs = expand_cascade_bbox(outputs, cfg.num_classes)
 
     R = cfg.proposal.max_out
     results = []
@@ -271,22 +265,50 @@ def detect_batch(params, images_bgr: Sequence[np.ndarray],
     return results
 
 
-def make_cascade_forward(params, ccfg, mesh=None):
-    """Cascade deploy forward (run_cascademscnn.m reads the 3rd-stage
-    blobs): emits the last-stage rois and, per ccfg.ensemble_avg, either
-    scores from the last head alone (cls_prob_3rd, the KITTI cascade) or
-    every head re-scored on the final proposals and averaged
-    (cls_prob_3rd_avg, citypersons/widerface).  `mesh` shards the image
-    batch as in make_forward."""
+def cascade_deploy_outputs(params, images, ccfg):
+    """Cascade deploy forward with the scoring choice applied: per
+    ccfg.ensemble_avg either the last head's own softmax (cls_prob_3rd,
+    the KITTI cascade) or every head re-scored on the final proposals
+    and averaged (cls_prob_3rd_avg, citypersons/widerface).  Shared by
+    make_cascade_forward and the AOT export (io/aot.py) so the scoring
+    semantics live in ONE place."""
     from mscnn_tpu.models import cascade as CC
 
+    out = dict(CC.deploy_forward(params, images, ccfg))
+    if ccfg.ensemble_avg:
+        out["cls_prob"] = out.pop("cls_prob_avg")
+    else:
+        out.pop("cls_prob_avg")
+    return out
+
+
+def cascade_post_cfg(ccfg):
+    """Decode config for cascade final outputs: the final refinement
+    decodes with the LAST stage's tight bbox std and zero mean
+    (run_cascademscnn.m:42-48)."""
+    import dataclasses as _dc
+
+    return _dc.replace(ccfg.base, bbox_mean=(0.0,) * 4,
+                       bbox_std=ccfg.stages[-1].bbox_std)
+
+
+def expand_cascade_bbox(outputs, num_classes):
+    """Cascade bbox_pred is class-agnostic 8-wide (decode_bbox_layer.cpp
+    channels==8); postprocess slices per class, so broadcast the fg slot
+    to every class column."""
+    outputs = dict(outputs)
+    outputs["bbox_pred"] = jnp.tile(outputs["bbox_pred"][:, 4:8],
+                                    (1, num_classes))
+    return outputs
+
+
+def make_cascade_forward(params, ccfg, mesh=None):
+    """Cascade deploy forward (run_cascademscnn.m reads the 3rd-stage
+    blobs): emits the last-stage rois plus cascade_deploy_outputs'
+    scoring.  `mesh` shards the image batch as in make_forward."""
+
     def fwd(p, im):
-        out = dict(CC.deploy_forward(p, im, ccfg))
-        if ccfg.ensemble_avg:
-            out["cls_prob"] = out.pop("cls_prob_avg")
-        else:
-            out.pop("cls_prob_avg")
-        return out
+        return cascade_deploy_outputs(p, im, ccfg)
 
     if mesh is None:
         return jax.jit(fwd)
@@ -305,15 +327,7 @@ def detect_cascade(params, image_bgr: np.ndarray, ccfg,
     proposals and averaged (citypersons/widerface, cls_prob_3rd_avg)."""
     if fwd is None:
         fwd = make_cascade_forward(params, ccfg)
-    # cascade bbox_pred is class-agnostic 8-wide; postprocess slices per
-    # class, so expand the fg slot to every class column
     cfg = ccfg.base
-
-    def expand(det_out):
-        bp = det_out["bbox_pred"]
-        det_out = dict(det_out)
-        det_out["bbox_pred"] = jnp.tile(bp[:, 4:8], (1, cfg.num_classes))
-        return det_out
 
     import cv2
 
@@ -322,15 +336,12 @@ def detect_cascade(params, image_bgr: np.ndarray, ccfg,
     resized = cv2.resize(image_bgr, (net_w, net_h),
                          interpolation=cv2.INTER_LINEAR)
     x = resized.astype(np.float32) - np.asarray(mean_values, np.float32)
-    outputs = expand(fwd(params, jnp.asarray(x)[None]))
+    outputs = expand_cascade_bbox(fwd(params, jnp.asarray(x)[None]),
+                                  cfg.num_classes)
     ratios = jnp.asarray([net_h / orig_h, net_w / orig_w], jnp.float32)
     orig_wh = jnp.asarray([orig_w, orig_h], jnp.float32)
-    # the final refinement decodes with the LAST stage's tight bbox std
-    import dataclasses as _dc
-    cfg_last = _dc.replace(cfg, bbox_mean=(0.0,) * 4,
-                           bbox_std=ccfg.stages[-1].bbox_std)
-    boxes, scores, valid = postprocess(outputs, ratios, orig_wh, cfg_last,
-                                       spec)
+    boxes, scores, valid = postprocess(outputs, ratios, orig_wh,
+                                       cascade_post_cfg(ccfg), spec)
     return {"boxes": np.asarray(boxes), "scores": np.asarray(scores),
             "valid": np.asarray(valid)}
 

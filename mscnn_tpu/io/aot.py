@@ -30,40 +30,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SEP = "/"
-
-
-def _flatten(params) -> dict:
+def _flatten(params) -> list:
+    """-> [(path_parts, np.ndarray)]; key path kept as a LIST so layer
+    names containing any separator character (Caffe allows e.g.
+    'inception_3a/1x1') round-trip exactly."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    out = {}
+    out = []
     for path, leaf in flat:
-        key = _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path)
-        out[key] = np.asarray(jax.device_get(leaf))
+        parts = [str(getattr(p, "key", getattr(p, "idx", p)))
+                 for p in path]
+        out.append((parts, np.asarray(jax.device_get(leaf))))
     return out
 
 
-def _unflatten(flat: dict) -> dict:
-    """Rebuild the nested-dict pytree from 'a/b/c' keys (params pytrees in
-    this repo are nested string-keyed dicts)."""
-    root: dict = {}
-    for key, leaf in flat.items():
-        parts = key.split(_SEP)
-        node = root
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = leaf
-    return root
-
-
 def save_params(params, npz_path: str, meta_path: str) -> int:
-    """Write param leaves as raw bytes + a dtype/shape sidecar (npz alone
-    mangles ml_dtypes like bfloat16 into void records)."""
+    """Write param leaves as raw bytes (index-named npz entries) + a
+    path/dtype/shape sidecar (npz alone mangles ml_dtypes like bfloat16
+    into void records, and npz entry names cannot carry arbitrary layer
+    names)."""
     flat = _flatten(params)
-    meta = {k: {"dtype": str(v.dtype), "shape": list(v.shape)}
-            for k, v in flat.items()}
-    np.savez(npz_path, **{k: np.frombuffer(v.tobytes(), np.uint8)
-                          for k, v in flat.items()})
+    meta = [{"path": parts, "dtype": str(v.dtype), "shape": list(v.shape)}
+            for parts, v in flat]
+    np.savez(npz_path, **{f"p{i}": np.frombuffer(v.tobytes(), np.uint8)
+                          for i, (_, v) in enumerate(flat)})
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return len(flat)
@@ -75,32 +64,44 @@ def load_params(npz_path: str, meta_path: str):
     with open(meta_path) as f:
         meta = json.load(f)
     raw = np.load(npz_path)
-    flat = {}
-    for k, m in meta.items():
-        a = np.frombuffer(raw[k].tobytes(), dtype=np.dtype(m["dtype"]))
-        flat[k] = a.reshape(m["shape"])
-    return _unflatten(flat)
+    root: dict = {}
+    for i, m in enumerate(meta):
+        a = np.frombuffer(raw[f"p{i}"].tobytes(),
+                          dtype=np.dtype(m["dtype"])).reshape(m["shape"])
+        node = root
+        for p in m["path"][:-1]:
+            node = node.setdefault(p, {})
+        node[m["path"][-1]] = a
+    return root
+
+
+_IMAGE_MAJOR_KEYS = ("rois", "roi_scores", "roi_valid", "cls_pred",
+                     "bbox_pred", "cls_prob")
+
+
+def _reshape_image_major(outputs, batch: int, max_out: int):
+    """[B*R, ...] deploy outputs -> [B, R, ...] (the deploy graph emits
+    proposals image-major, R = cfg.proposal.max_out rows per image —
+    same slicing as inference.detect_batch)."""
+    return {k: outputs[k].reshape((batch, max_out) + outputs[k].shape[1:])
+            for k in _IMAGE_MAJOR_KEYS if k in outputs}
 
 
 def make_batched_e2e(params, cfg, spec, *, batch: int,
                      mean_values=(104.0, 117.0, 123.0)):
     """Batched single-dispatch serving graph: [B,H,W,3] uint8 images (+
     per-image ratios/orig_wh) -> per-image final detections, postprocess
-    vmapped over the image-major proposal blocks (same slicing as
-    inference.detect_batch). Batch>1 is the throughput serving shape —
-    bench.py's deploy protocol runs batch 4."""
+    vmapped over the image-major proposal blocks. Batch>1 is the
+    throughput serving shape — bench.py's deploy protocol runs batch 4."""
     from mscnn_tpu import inference as I
     from mscnn_tpu.models import mscnn as M
 
     mean = jnp.asarray(mean_values, jnp.float32)
-    R = cfg.proposal.max_out
 
     def fwd(p, imgs_u8, ratios, orig_wh):
         x = imgs_u8.astype(jnp.float32) - mean
         o = M.deploy_forward(p, x, cfg)
-        sub = {k: o[k].reshape((batch, R) + o[k].shape[1:])
-               for k in ("rois", "roi_scores", "roi_valid",
-                         "cls_pred", "bbox_pred")}
+        sub = _reshape_image_major(o, batch, cfg.proposal.max_out)
         boxes, scores, valid = jax.vmap(
             lambda s, r, w: I.postprocess(s, r, w, cfg, spec))(
                 sub, ratios, orig_wh)
@@ -113,41 +114,27 @@ def make_batched_e2e(params, cfg, spec, *, batch: int,
 
 def make_cascade_e2e(params, ccfg, spec, *, batch: int = 1,
                      mean_values=(104.0, 117.0, 123.0)):
-    """Cascade single-dispatch serving graph (staged DecodeBBox
-    refinement, class-agnostic final regression, ensemble or last-stage
-    scoring per ccfg.ensemble_avg — inference.detect_cascade semantics
-    in ONE jitted program)."""
-    import dataclasses as _dc
-
+    """Cascade single-dispatch serving graph: inference.detect_cascade
+    semantics in ONE jitted program, built from the SAME shared helpers
+    the live paths use (cascade_deploy_outputs / expand_cascade_bbox /
+    cascade_post_cfg) so scoring/decode semantics cannot drift."""
     from mscnn_tpu import inference as I
-    from mscnn_tpu.models import cascade as CC
 
     cfg = ccfg.base
-    # the final refinement decodes with the LAST stage's tight bbox std
-    cfg_last = _dc.replace(cfg, bbox_mean=(0.0,) * 4,
-                           bbox_std=ccfg.stages[-1].bbox_std)
+    cfg_last = I.cascade_post_cfg(ccfg)
     mean = jnp.asarray(mean_values, jnp.float32)
-    R = cfg.proposal.max_out
-    keys = ("rois", "roi_scores", "roi_valid", "cls_pred", "bbox_pred",
-            "cls_prob")
 
     def fwd(p, imgs_u8, ratios, orig_wh):
         x = imgs_u8.astype(jnp.float32) - mean
-        o = dict(CC.deploy_forward(p, x[None] if batch == 1 else x, ccfg))
-        if ccfg.ensemble_avg:
-            o["cls_prob"] = o.pop("cls_prob_avg")
-        else:
-            o.pop("cls_prob_avg")
-        # class-agnostic 8-wide bbox_pred: expand the fg slot per class
-        o["bbox_pred"] = jnp.tile(o["bbox_pred"][:, 4:8],
-                                  (1, cfg.num_classes))
+        o = I.cascade_deploy_outputs(p, x[None] if batch == 1 else x,
+                                     ccfg)
+        o = I.expand_cascade_bbox(o, cfg.num_classes)
         if batch == 1:
-            sub = {k: o[k] for k in keys if k in o}
+            sub = {k: o[k] for k in _IMAGE_MAJOR_KEYS if k in o}
             boxes, scores, valid = I.postprocess(sub, ratios, orig_wh,
                                                  cfg_last, spec)
         else:
-            sub = {k: o[k].reshape((batch, R) + o[k].shape[1:])
-                   for k in keys if k in o}
+            sub = _reshape_image_major(o, batch, cfg.proposal.max_out)
             boxes, scores, valid = jax.vmap(
                 lambda s, r, w: I.postprocess(s, r, w, cfg_last, spec))(
                     sub, ratios, orig_wh)
@@ -307,6 +294,9 @@ class CompiledDeploy:
             out = self(jnp.asarray(np.stack([p[0] for p in full])),
                        jnp.asarray(np.stack([p[1] for p in full])),
                        jnp.asarray(np.stack([p[2] for p in full])))
+            # one device->host transfer per output array per GROUP (the
+            # per-image _result slices numpy views, not device arrays)
+            out = {k: np.asarray(v) for k, v in out.items()}
             for i, p in enumerate(grp):
                 results.append(self._result(out, i, p[1]))
         return results

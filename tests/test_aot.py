@@ -28,9 +28,10 @@ def tiny():
 
 
 def test_params_raw_byte_roundtrip_preserves_bf16(tmp_path):
+    # 'inception_3a/1x1' exercises separator characters in layer names
     tree = {"conv": {"w": jnp.ones((2, 3), jnp.bfloat16) * 1.5,
                      "b": jnp.arange(3, dtype=jnp.float32)},
-            "fc": {"w": jnp.full((4,), 7, jnp.int8)}}
+            "inception_3a/1x1": {"w": jnp.full((4,), 7, jnp.int8)}}
     n = aot.save_params(tree, str(tmp_path / "p.npz"),
                         str(tmp_path / "p.json"))
     assert n == 3
@@ -162,6 +163,63 @@ def test_cli_compile_then_detect_compiled(tmp_path, capsys):
         ref = (out_ref / f"{i:06d}.txt").read_text()
         got = (out_aot / f"{i:06d}.txt").read_text()
         assert got == ref, f"image {i} labels diverge"
+
+    # batch-2 artifact: cmd_detect routes through the grouped/padded
+    # loop (n_dev = artifact batch); 3rd image exercises the padded tail
+    img3 = (np.random.RandomState(4).rand(64, 96, 3) * 255).astype(
+        np.uint8)
+    cv2.imwrite(str(img_dir / "000002.png"), img3)
+    art2 = str(tmp_path / "artifact_b2")
+    assert cli.main(["compile", "--zoo", "tiny-test", "--batch", "2",
+                     "-o", art2]) == 0
+    out_ref3 = tmp_path / "out_ref3"
+    out_b2 = tmp_path / "out_b2"
+    assert cli.main(["detect", "--output-dir", str(out_ref3),
+                     "--zoo", "tiny-test"] + base) == 0
+    assert cli.main(["detect", "--output-dir", str(out_b2),
+                     "--compiled", art2] + base) == 0
+    for i in range(3):
+        ref = (out_ref3 / f"{i:06d}.txt").read_text()
+        got = (out_b2 / f"{i:06d}.txt").read_text()
+        assert got == ref, f"batched artifact image {i} labels diverge"
+
+    # ignored runtime flags are called out, not silently dropped
+    capsys.readouterr()
+    assert cli.main(["detect", "--output-dir", str(tmp_path / "o_ign"),
+                     "--compiled", art, "--bf16"] + base) == 0
+    assert "--bf16 ignored" in capsys.readouterr().out
+
+
+def test_cli_compile_int8_matches_detect_int8(tmp_path, capsys):
+    """`mscnn compile --int8 --calib-dir` bakes the same PTQ trunk the
+    live `detect --int8` path calibrates (same images, same scales)."""
+    import cv2
+
+    from mscnn_tpu import cli
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(6)
+    for i in range(3):
+        img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+
+    art = str(tmp_path / "artifact_int8")
+    rc = cli.main(["compile", "--zoo", "tiny-test", "--int8",
+                   "--calib-dir", str(img_dir), "-o", art])
+    assert rc == 0
+
+    base = ["--image-dir", str(img_dir), "--class-names", "bg,car,van"]
+    out_live = tmp_path / "out_live"
+    out_aot = tmp_path / "out_aot"
+    assert cli.main(["detect", "--output-dir", str(out_live),
+                     "--zoo", "tiny-test", "--int8"] + base) == 0
+    assert cli.main(["detect", "--output-dir", str(out_aot),
+                     "--compiled", art] + base) == 0
+    for i in range(3):
+        ref = (out_live / f"{i:06d}.txt").read_text()
+        got = (out_aot / f"{i:06d}.txt").read_text()
+        assert got == ref, f"int8 artifact image {i} labels diverge"
 
 
 def test_cross_platform_export_targets_tpu_from_cpu(tiny, tmp_path):
