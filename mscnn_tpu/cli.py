@@ -846,6 +846,15 @@ def cmd_compile(args):
     return 0
 
 
+def cmd_serve(args):
+    """HTTP serving endpoint over an AOT artifact (serve.py): GET
+    /healthz, POST /detect with image bytes -> JSON detections."""
+    from mscnn_tpu import serve as SV
+
+    names = args.class_names.split(",") if args.class_names else None
+    return SV.serve(args.compiled, args.port, class_names=names)
+
+
 def cmd_resize_images(args):
     """Batch-resize an image dir/list to fixed geometry
     (tools/extra/resize_and_crop_images.py parity)."""
@@ -1207,6 +1216,15 @@ def main(argv=None):
                        help="image directory for int8 PTQ calibration")
     p_cmp.add_argument("--calib-images", type=int, default=4)
     p_cmp.set_defaults(fn=cmd_compile)
+
+    p_srv = sub.add_parser(
+        "serve", help="HTTP detection endpoint over an AOT artifact")
+    p_srv.add_argument("--compiled", required=True,
+                       help="artifact directory from `mscnn compile`")
+    p_srv.add_argument("--port", type=int, default=8437)
+    p_srv.add_argument("--class-names",
+                       help="comma list incl. bg for named detections")
+    p_srv.set_defaults(fn=cmd_serve)
 
     p_rs = sub.add_parser(
         "resize_images", help="batch resize/center-crop an image dir or "

@@ -222,6 +222,71 @@ def test_cli_compile_int8_matches_detect_int8(tmp_path, capsys):
         assert got == ref, f"int8 artifact image {i} labels diverge"
 
 
+def test_serve_http_endpoint(tiny, tmp_path):
+    """`mscnn serve`: /healthz + /detect over a compiled artifact return
+    the same detections inference.detect computes (above score_thr)."""
+    import threading
+    import urllib.request
+
+    import cv2
+
+    from mscnn_tpu import serve as SV
+
+    cfg, params = tiny
+    spec = I.DetectSpec(max_per_class=8)
+    art = str(tmp_path / "srv_art")
+    aot.export_deploy(params, cfg, art, spec=spec)
+
+    boot = {}
+    ev = threading.Event()
+
+    def started(httpd):
+        boot["httpd"] = httpd
+        ev.set()
+
+    t = threading.Thread(
+        target=SV.serve, args=(art, 0),
+        kwargs={"class_names": ["bg", "car", "van"], "started": started},
+        daemon=True)
+    t.start()
+    assert ev.wait(60), "server did not start"
+    port = boot["httpd"].server_address[1]
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["meta"]["num_classes"] == 3
+
+        rng = np.random.RandomState(8)
+        img = rng.randint(0, 255, (64, 96, 3)).astype(np.uint8)
+        ok, png = cv2.imencode(".png", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect?score_thr=0.1",
+            data=png.tobytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+
+        ref = I.detect(params, img, cfg, spec)
+        want = []
+        for c in range(ref["boxes"].shape[0]):
+            for k in range(ref["boxes"].shape[1]):
+                if bool(ref["valid"][c, k]) and \
+                        float(ref["scores"][c, k]) >= 0.1:
+                    want.append((c + 1, float(ref["scores"][c, k]),
+                                 [float(v) for v in ref["boxes"][c, k]]))
+        want.sort(key=lambda d: -d[1])
+        assert out["num"] == len(want)
+        for got, (cid, score, bbox) in zip(out["detections"], want):
+            assert got["class_id"] == cid
+            assert got["class"] == ["bg", "car", "van"][cid]
+            np.testing.assert_allclose(got["score"], score, rtol=1e-5)
+            np.testing.assert_allclose(got["bbox"], bbox, rtol=1e-4,
+                                       atol=1e-3)
+    finally:
+        boot["httpd"].shutdown()
+
+
 def test_cross_platform_export_targets_tpu_from_cpu(tiny, tmp_path):
     """Cross-lowering: a CPU build host can emit the TPU serving artifact
     (jax.export platforms=- the serving fleet never needs model code)."""
