@@ -1,0 +1,22 @@
+// boost::mutex shim for the oracle build (layer.cpp's forward mutex).
+// layer.hpp forward-declares `namespace boost { class mutex; }`, so this must
+// be a class (not an alias) with lock()/unlock().
+#ifndef ORACLE_STUB_BOOST_THREAD_HPP_
+#define ORACLE_STUB_BOOST_THREAD_HPP_
+
+#include <mutex>
+
+namespace boost {
+
+class mutex {
+ public:
+  void lock() { m_.lock(); }
+  void unlock() { m_.unlock(); }
+
+ private:
+  std::mutex m_;
+};
+
+}  // namespace boost
+
+#endif  // ORACLE_STUB_BOOST_THREAD_HPP_
