@@ -429,6 +429,12 @@ class Net:
                 dims = [int(d) for d in PB.as_list(
                     layer["reshape_param"]["shape"]["dim"])]
                 shapes[tops[0]] = tuple(_resolve_reshape(dims, in_shape))
+            elif ltype == "Filter":
+                # fixed-capacity formulation: tops keep each bottom's full
+                # first dim (filter_layer.cpp's dynamic new_tops_num becomes
+                # compact-to-front + zeroed tail)
+                for ti, t in enumerate(tops):
+                    shapes[t] = tuple(shapes[bots[ti]])
             elif ltype == "Crop":
                 ref = shapes[bots[1]]
                 cp = layer.get("crop_param", {})
@@ -594,8 +600,11 @@ class Net:
                 continue
             bots = [blobs[str(b)] for b in PB.as_list(layer.get("bottom"))]
             tops = [str(t) for t in PB.as_list(layer.get("top"))]
-            dk = next(k_iter) if (k_iter is not None and ltype == "Dropout") \
-                else None
+            needs_key = ltype == "Dropout" or (
+                ltype == "Pooling"
+                and str(layer.get("pooling_param", {})
+                        .get("pool", "MAX")).upper() == "STOCHASTIC")
+            dk = next(k_iter) if (k_iter is not None and needs_key) else None
             outs, dloss = self.apply_layer(layer, params, bots, train=train,
                                            dropout_key=dk)
             loss = loss + dloss
@@ -642,12 +651,30 @@ class Net:
         elif ltype == "Pooling":
             pp = layer.get("pooling_param", {})
             mode = str(pp.get("pool", "MAX")).upper()
-            fn = C.max_pool if mode == "MAX" else C.avg_pool
+            if mode not in ("MAX", "AVE", "STOCHASTIC"):
+                raise ValueError(
+                    f"layer {name!r}: unknown pooling mode {mode!r} "
+                    "(pooling_layer.cpp LOG(FATAL) on unknown methods)")
+            if mode == "STOCHASTIC" and int(pp.get("pad", 0)) != 0:
+                raise ValueError(
+                    f"layer {name!r}: STOCHASTIC pooling forbids pad "
+                    "(pooling_layer.cpp:67-74)")
             if pp.get("global_pooling", False):
-                out = bots[0].max(axis=(1, 2), keepdims=True) \
-                    if mode == "MAX" else \
-                    bots[0].mean(axis=(1, 2), keepdims=True)
+                if mode == "MAX":
+                    out = bots[0].max(axis=(1, 2), keepdims=True)
+                elif mode == "AVE":
+                    out = bots[0].mean(axis=(1, 2), keepdims=True)
+                else:
+                    k = max(bots[0].shape[1], bots[0].shape[2])
+                    out = C.stochastic_pool(bots[0], k, 1, train=train,
+                                            key=dropout_key)
+            elif mode == "STOCHASTIC":
+                k = int(pp.get("kernel_size", 2))
+                out = C.stochastic_pool(bots[0], k,
+                                        int(pp.get("stride", k)),
+                                        train=train, key=dropout_key)
             else:
+                fn = C.max_pool if mode == "MAX" else C.avg_pool
                 k = int(pp.get("kernel_size", 2))
                 out = fn(bots[0], k, int(pp.get("stride", k)),
                          int(pp.get("pad", 0)))
@@ -809,6 +836,15 @@ class Net:
             loss = loss + float(layer.get("loss_weight", 1.0)) * out
         elif ltype == "Split":
             return [bots[0]] * len(tops), 0.0
+        elif ltype == "Filter":
+            # filter_layer.cpp:16-58: bottoms[:-1] filtered by the last
+            # bottom (selector, one value per item). TPU-native fixed-shape
+            # form: kept rows compacted to the front, dropped tail zeroed;
+            # capacity == input first dim.
+            outs_f, keep = LY.filter_(bots[:-1], bots[-1])
+            outs = [o * keep.reshape((-1,) + (1,) * (o.ndim - 1))
+                    .astype(o.dtype) for o in outs_f]
+            return outs, 0.0
         elif ltype == "Softmax":
             out = jax.nn.softmax(bots[0], axis=-1)
         elif ltype == "SoftmaxWithLoss":

@@ -86,6 +86,62 @@ def avg_pool(x, k: int = 2, stride: int = 2, pad: int = 0, ceil_mode: bool = Tru
     return s / (k * k)
 
 
+def _pool_patches(x, k: int, stride: int, ceil_mode: bool):
+    """Gather (N, OH, OW, k*k, C) unpadded pooling windows plus a validity
+    mask. Stochastic pooling forbids padding (pooling_layer.cpp:67-74), so
+    windows start at ``p * stride`` and are clipped at the input edge
+    (pooling_layer.cu:95-98). Cells past the edge are masked out."""
+    n, h, w, c = x.shape
+    _, oh = _pool_padding(h, k, stride, 0, ceil_mode)
+    _, ow = _pool_padding(w, k, stride, 0, ceil_mode)
+    h_idx = jnp.arange(oh)[:, None] * stride + jnp.arange(k)[None, :]
+    w_idx = jnp.arange(ow)[:, None] * stride + jnp.arange(k)[None, :]
+    valid_h = h_idx < h
+    valid_w = w_idx < w
+    xh = jnp.take(x, jnp.minimum(h_idx, h - 1).reshape(-1), axis=1)
+    xh = xh.reshape(n, oh, k, w, c)
+    xw = jnp.take(xh, jnp.minimum(w_idx, w - 1).reshape(-1), axis=3)
+    xw = xw.reshape(n, oh, k, ow, k, c)
+    # (N, OH, OW, kh, kw, C) -> flatten window row-major (h fastest-outer),
+    # matching the reference's h-then-w scan order.
+    patches = xw.transpose(0, 1, 3, 2, 4, 5).reshape(n, oh, ow, k * k, c)
+    mask = (valid_h[:, None, :, None] & valid_w[None, :, None, :])
+    mask = mask.reshape(1, oh, ow, k * k, 1)
+    return patches * mask, mask
+
+
+def stochastic_pool(x, k: int = 2, stride: int = 2, *, train: bool = False,
+                    key=None, ceil_mode: bool = True):
+    """Stochastic pooling (Zeiler & Fergus), Caffe STOCHASTIC mode.
+
+    Train (pooling_layer.cu StoPoolForwardTrain :83-122): per window, draw
+    u~U[0,1), threshold = u * sum(window), output the first cell whose
+    running cumulative sum reaches the threshold. The backward routes the
+    gradient to the sampled cell only (StoPoolBackward :300-334) — here
+    that is simply the autodiff of the gather, with the sampled index held
+    fixed exactly as the reference holds rand_idx_ from the forward.
+
+    Test (StoPoolForwardTest :125-154): probability-weighted average
+    sum(x^2) / (FLT_MIN + sum(x)).
+
+    Assumes non-negative activations (post-ReLU), as the reference does.
+    Padding is not supported (pooling_layer.cpp:67-74 CHECKs pad==0).
+    """
+    patches, _ = _pool_patches(x, k, stride, ceil_mode)
+    if not train:
+        cumsum = patches.sum(axis=3) + jnp.finfo(jnp.float32).tiny
+        return (jnp.square(patches).sum(axis=3) / cumsum).astype(x.dtype)
+    if key is None:
+        raise ValueError("stochastic_pool(train=True) requires a PRNG key")
+    csum = jnp.cumsum(patches, axis=3)
+    total = csum[:, :, :, -1:, :]
+    u = jax.random.uniform(key, total.shape, dtype=jnp.float32)
+    thres = lax.stop_gradient(u * total)
+    # First index with cumsum >= thres; argmax returns the first True.
+    sel = jnp.argmax(csum >= thres, axis=3, keepdims=True)
+    return jnp.take_along_axis(patches, sel, axis=3)[:, :, :, 0, :]
+
+
 def deconv2d(x, w, b=None, *, stride: int = 2, pad: int = 1, groups: int = 1):
     """Transposed convolution as an input-dilated convolution.
 
