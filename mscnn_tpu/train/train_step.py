@@ -321,13 +321,28 @@ def stack_microbatches(batches):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
+def _put_global(x, sharding: NamedSharding):
+    """device_put that also works when the mesh spans multiple processes:
+    each process contributes its process-local portion (the full value for
+    replicated specs) and jax assembles the global array."""
+    if jax.process_count() > 1:
+        import numpy as np
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def replicate_state(train_state, mesh: Mesh):
-    """Place params/solver state fully replicated on the mesh."""
+    """Place params/solver state fully replicated on the mesh. Multi-host:
+    every process must hold identical values (deterministic init)."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(train_state, sharding)
+    return jax.tree.map(lambda x: _put_global(x, sharding), train_state)
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every leading axis of the batch pytree over the data axis."""
-    axis = mesh.axis_names[0]
-    return jax.device_put(batch, NamedSharding(mesh, P(axis)))
+    """Shard every leading axis of the batch pytree over the data axis.
+    Multi-host: `batch` is this process's local slice of the global batch
+    (global batch = concatenation over processes in process order), the
+    analog of P2PSync's workers consuming disjoint batches."""
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.tree.map(lambda x: _put_global(x, sharding), batch)
