@@ -978,8 +978,9 @@ def cmd_convert_imageset(args):
 
     n = TL.convert_imageset(
         args.output, window_file=args.window_file, listfile=args.listfile,
-        root_folder=args.root_folder, shuffle=args.shuffle, seed=args.seed,
-        encode=args.encode, quality=args.quality)
+        from_lmdb=args.from_lmdb, root_folder=args.root_folder,
+        shuffle=args.shuffle, seed=args.seed,
+        encode=args.encode, quality=args.quality, backend=args.backend)
     print(f"Packed {n} records into {args.output}")
     return 0
 
@@ -1161,6 +1162,11 @@ def main(argv=None):
         help="pack a window file / image list into a record shard")
     p_conv.add_argument("--window-file")
     p_conv.add_argument("--listfile", help="`path label` lines")
+    p_conv.add_argument("--from-lmdb",
+                        help="migrate an existing Caffe LMDB env")
+    p_conv.add_argument("--backend", default="records",
+                        choices=["records", "lmdb"],
+                        help="output format (lmdb = Caffe Datum env)")
     p_conv.add_argument("--root-folder", default="")
     p_conv.add_argument("--shuffle", action="store_true")
     p_conv.add_argument("--seed", type=int, default=0)

@@ -2,10 +2,11 @@
 
 Equivalents of src/caffe/layers/{image,hdf5,memory,dummy}_data_layer.cpp and
 window_data_layer.cpp — each yields fixed-shape batch dicts compatible with
-the Prefetcher. The LMDB/LevelDB record pipeline has no TPU-native role
-(those stores exist to feed JPEG bytes to a single reader thread); the
-window-file + native-loader path is this framework's record format, and
-HDF5 covers the array-dataset use case.
+the Prefetcher. The window-file + native-loader path is this framework's
+preferred record format (LMDB/LevelDB exist in the reference to feed JPEG
+bytes to a single reader thread), but existing Caffe LMDB datasets are
+ingested directly via LMDBDataset (io/lmdb.py pure-Python reader); HDF5
+covers the array-dataset use case.
 """
 
 from __future__ import annotations
@@ -126,6 +127,48 @@ class MemoryDataset:
         return {k: v[idx] for k, v in self.arrays.items()}
 
     get = next_batch
+
+
+class LMDBDataset:
+    """DataLayer over an existing Caffe LMDB (data_layer.cpp +
+    data_reader.cpp): a cyclic cursor over (key, Datum) records, decoded
+    and run through the DataTransformer chain. Yields NHWC float batches
+    + int labels. Records are indexed once up front (the pure-Python
+    reader is mmap-backed, so this holds offsets, not pixels)."""
+
+    def __init__(self, source: str, batch_size: int,
+                 tspec: Optional[TransformSpec] = None, seed: int = 0):
+        from mscnn_tpu.io import lmdb as L
+        self._decode = L.decode_datum
+        self._db = L.LMDBReader(source)
+        self._items = list(self._db.items())
+        if not self._items:
+            raise ValueError(f"empty LMDB dataset {source!r}")
+        self.batch_size = batch_size
+        self.tspec = tspec or TransformSpec()
+        self.rng = np.random.RandomState(seed)
+        self._pos = 0
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def next_batch(self, train: bool = True) -> dict:
+        imgs, labels = [], []
+        for _ in range(self.batch_size):
+            _, raw = self._items[self._pos]
+            self._pos = (self._pos + 1) % len(self._items)
+            d = self._decode(raw)
+            chw = d.array()
+            hwc = np.ascontiguousarray(chw.transpose(1, 2, 0))
+            imgs.append(transform(self.rng, hwc, self.tspec, train=train))
+            labels.append(d.label)
+        return {"data": np.stack(imgs).astype(np.float32),
+                "label": np.asarray(labels, np.int32)}
+
+    get = next_batch
+
+    def close(self):
+        self._db.close()
 
 
 class HDF5Dataset:

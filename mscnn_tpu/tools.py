@@ -50,14 +50,31 @@ def _images_from_listfile(listfile: str,
 
 
 def convert_imageset(output: str, *, window_file: Optional[str] = None,
-                     listfile: Optional[str] = None, root_folder: str = "",
+                     listfile: Optional[str] = None,
+                     from_lmdb: Optional[str] = None, root_folder: str = "",
                      shuffle: bool = False, seed: int = 0,
-                     encode: Optional[str] = None, quality: int = 95) -> int:
-    """Pack a dataset into a record shard. Returns the record count."""
+                     encode: Optional[str] = None, quality: int = 95,
+                     backend: str = "records") -> int:
+    """Pack a dataset. Returns the record count.
+
+    Inputs: exactly one of `window_file`, `listfile` (the reference tool's
+    LISTFILE), or `from_lmdb` (migrate an existing Caffe LMDB env).
+    Outputs: `backend="records"` (data/records.py shard, the native
+    sequential format) or `backend="lmdb"` (a Caffe-compatible LMDB of
+    Datum records, what tools/convert_imageset.cpp:105-124 writes).
+    """
     from mscnn_tpu.data import records as R
 
-    if (window_file is None) == (listfile is None):
-        raise ValueError("pass exactly one of window_file / listfile")
+    if sum(x is not None for x in (window_file, listfile, from_lmdb)) != 1:
+        raise ValueError(
+            "pass exactly one of window_file / listfile / from_lmdb")
+
+    if from_lmdb is not None:
+        if backend == "lmdb":
+            raise ValueError("from_lmdb with backend='lmdb' is a copy; "
+                             "point your config at the original instead")
+        return _records_from_lmdb(output, from_lmdb)
+
     if window_file is not None:
         images = W.parse_window_file(window_file, root_folder)
     else:
@@ -66,8 +83,102 @@ def convert_imageset(output: str, *, window_file: Optional[str] = None,
     if shuffle:
         rng = np.random.RandomState(seed)
         images = [images[i] for i in rng.permutation(len(images))]
+    if backend == "lmdb":
+        return _lmdb_from_images(output, images, encode=encode,
+                                 quality=quality)
+    if backend != "records":
+        raise ValueError(f"unknown backend {backend!r} "
+                         "(records or lmdb)")
     return R.write_records(output, images, "", encode=encode,
                            quality=quality)
+
+
+def _lmdb_from_images(output: str, images: Sequence[W.WindowImage], *,
+                      encode: Optional[str], quality: int) -> int:
+    """Write a Caffe LMDB of Datum records (convert_imageset.cpp:95-124:
+    key = 8-digit index + "_" + path, value = serialized Datum; raw BGR
+    bytes by default, encoded bytes with --encode_type)."""
+    import cv2
+
+    from mscnn_tpu.io import lmdb as L
+
+    with L.LMDBWriter(output) as db:
+        for i, im in enumerate(images):
+            label = int(im.gts[0, 0]) if len(im.gts) else 0
+            if encode is None:
+                arr = cv2.imread(im.path, cv2.IMREAD_COLOR)
+                if arr is None:
+                    raise FileNotFoundError(f"could not read {im.path}")
+                d = L.Datum(channels=arr.shape[2], height=arr.shape[0],
+                            width=arr.shape[1],
+                            data=np.ascontiguousarray(
+                                arr.transpose(2, 0, 1)).tobytes(),
+                            label=label)
+            else:
+                arr = cv2.imread(im.path, cv2.IMREAD_COLOR)
+                if arr is None:
+                    raise FileNotFoundError(f"could not read {im.path}")
+                flags = ([cv2.IMWRITE_JPEG_QUALITY, quality]
+                         if encode in (".jpg", ".jpeg") else [])
+                ok, enc = cv2.imencode(encode, arr, flags)
+                if not ok:
+                    raise ValueError(f"could not encode {im.path}")
+                d = L.Datum(channels=arr.shape[2], height=arr.shape[0],
+                            width=arr.shape[1], data=enc.tobytes(),
+                            label=label, encoded=True)
+            key = f"{i:08d}_{os.path.basename(im.path)}".encode()
+            db.put(key, L.encode_datum(d))
+    return len(images)
+
+
+def _records_from_lmdb(output: str, lmdb_path: str) -> int:
+    """Migrate an existing Caffe LMDB to a record shard: encoded Datums
+    keep their bytes verbatim; raw Datums are PNG-encoded losslessly.
+    The label rides as one full-image gt row (like listfile packing)."""
+    import struct
+
+    import cv2
+
+    from mscnn_tpu.data import records as R
+    from mscnn_tpu.io import lmdb as L
+
+    offsets = []
+    with open(output, "wb") as f:
+        f.write(R.MAGIC + struct.pack("<I", R.VERSION))
+        n = 0
+        for key, d in L.iter_datums(lmdb_path):
+            if d.encoded:
+                img_bytes = d.data
+                probe = cv2.imdecode(np.frombuffer(d.data, np.uint8),
+                                     cv2.IMREAD_UNCHANGED)
+                if probe is None:
+                    raise L.LMDBError(
+                        f"record {key!r}: undecodable encoded Datum")
+                h, w = probe.shape[:2]
+                c = 1 if probe.ndim == 2 else probe.shape[2]
+            else:
+                chw = d.array()
+                c, h, w = chw.shape
+                hwc = np.ascontiguousarray(chw.transpose(1, 2, 0))
+                ok, enc = cv2.imencode(".png", hwc)
+                if not ok:
+                    raise L.LMDBError(f"record {key!r}: PNG encode failed")
+                img_bytes = enc.tobytes()
+            gts = np.asarray([[d.label, 0.0, 0.0, 0.0, w, h]], np.float32)
+            im = W.WindowImage(f"lmdb:{key.decode(errors='replace')}",
+                               c, h, w, gts, np.zeros((0, 4), np.float32))
+            meta = R._pack_meta(im)
+            offsets.append(f.tell())
+            f.write(struct.pack("<I", len(meta)))
+            f.write(meta)
+            f.write(struct.pack("<I", len(img_bytes)))
+            f.write(img_bytes)
+            n += 1
+        for off in offsets:
+            f.write(struct.pack("<Q", off))
+        f.write(struct.pack("<Q", len(offsets)))
+        f.write(R.END_MAGIC)
+    return n
 
 
 def compute_image_mean(source: str, *, root_folder: str = "",

@@ -41,6 +41,20 @@ def find_data_layer(net: NB.Net) -> Optional[dict]:
     return None
 
 
+def _looks_like_lmdb(path: str) -> bool:
+    """MDB_MAGIC (0xBEEFC0DE LE) at offset 16 of data.mdb — lets a
+    misdeclared `backend: LEVELDB` that actually points at an LMDB env
+    (common in recycled prototxts) still load."""
+    import os
+    p = os.path.join(path, "data.mdb") if os.path.isdir(path) else path
+    try:
+        with open(p, "rb") as f:
+            head = f.read(20)
+    except OSError:
+        return False
+    return head[16:20] == b"\xde\xc0\xef\xbe"
+
+
 def _nchw_to_nhwc(a: np.ndarray) -> np.ndarray:
     return a.transpose(0, 2, 3, 1) if a.ndim == 4 else a
 
@@ -180,10 +194,38 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
         return source
 
     if ltype == "Data":
-        raise ValueError(
-            "Data (LMDB/LevelDB) sources have no reader here; convert "
-            "with `mscnn convert_imageset` or use an ImageData layer "
-            "(see data/records.py and SURVEY §2.2)")
+        # data_layer.cpp + data_reader.cpp: sequential Datum records.
+        # LMDB envs are read natively (io/lmdb.py pure-Python reader);
+        # LevelDB (SSTable+log) is not — convert once with the reference's
+        # own tools or `mscnn convert_imageset`.
+        from mscnn_tpu.data import sources as SRC
+        dp = layer.get("data_param", {})
+        backend = str(dp.get("backend", "LEVELDB")).upper()
+        src_path = str(dp["source"])
+        if backend != "LMDB" and not _looks_like_lmdb(src_path):
+            raise ValueError(
+                f"Data layer backend {backend} ({src_path!r}): only LMDB "
+                "envs are readable here; convert LevelDB datasets with "
+                "`mscnn convert_imageset` (see data/records.py)")
+        tp = layer.get("transform_param", {})
+        mv = [float(v) for v in PB.as_list(tp.get("mean_value"))]
+        tspec = SRC.TransformSpec(
+            scale=float(tp.get("scale", 1.0)),
+            mean_values=tuple(mv) if mv else None,
+            crop_size=int(tp.get("crop_size", 0)),
+            mirror=bool(tp.get("mirror", False)))
+        ds = SRC.LMDBDataset(src_path,
+                             batch_size or int(dp.get("batch_size", 1)),
+                             tspec=tspec, seed=seed)
+
+        def source():
+            b = ds.next_batch(train=train)
+            out = {tops[0]: b["data"]}
+            if len(tops) > 1:
+                out[tops[1]] = b["label"]
+            return out
+
+        return source
     raise ValueError(f"unsupported data layer type {ltype!r} for generic "
                      "training (MemoryData is programmatic-only)")
 
