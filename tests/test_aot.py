@@ -287,6 +287,100 @@ def test_serve_http_endpoint(tiny, tmp_path):
         boot["httpd"].shutdown()
 
 
+def test_serve_concurrent_clients_microbatch(tiny, tmp_path):
+    """ThreadingHTTPServer + MicroBatcher: concurrent POSTs against a
+    batch-2 artifact all succeed, per-image results match the
+    single-client path, and /healthz shows fewer device dispatches than
+    images served (requests actually coalesced into batched calls)."""
+    import threading
+    import urllib.request
+
+    import cv2
+
+    from mscnn_tpu import serve as SV
+
+    cfg, params = tiny
+    spec = I.DetectSpec(max_per_class=8)
+    art = str(tmp_path / "srv_mb")
+    aot.export_deploy(params, cfg, art, spec=spec, batch=2)
+
+    boot = {}
+    ev = threading.Event()
+
+    def started(httpd):
+        boot["httpd"] = httpd
+        ev.set()
+
+    t = threading.Thread(
+        target=SV.serve, args=(art, 0),
+        kwargs={"started": started, "linger_ms": 200.0},  # deterministic
+        daemon=True)
+    t.start()
+    assert ev.wait(60), "server did not start"
+    port = boot["httpd"].server_address[1]
+
+    rng = np.random.RandomState(9)
+    imgs = [rng.randint(0, 255, (64, 96, 3)).astype(np.uint8)
+            for _ in range(6)]
+    payloads = []
+    for im in imgs:
+        ok, png = cv2.imencode(".png", im)
+        assert ok
+        payloads.append(png.tobytes())
+
+    try:
+        # warm the program cache so the timed burst isn't one compile
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/detect",
+                                     data=payloads[0], method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            json.loads(r.read())
+
+        results = [None] * len(imgs)
+        errs = []
+        barrier = threading.Barrier(len(imgs))
+
+        def client(i):
+            try:
+                barrier.wait()
+                rq = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/detect",
+                    data=payloads[i], method="POST")
+                with urllib.request.urlopen(rq, timeout=300) as r:
+                    results[i] = json.loads(r.read())
+            except Exception as e:  # noqa: BLE001
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(imgs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(300)
+        assert not errs, errs
+        assert all(r is not None for r in results)
+
+        # every concurrent answer matches the direct artifact result
+        compiled = aot.load_deploy(art)
+        for i, im in enumerate(imgs):
+            ref = compiled.detect(im)
+            want = sorted(
+                (float(ref["scores"][c, k])
+                 for c in range(ref["scores"].shape[0])
+                 for k in range(ref["scores"].shape[1])
+                 if bool(ref["valid"][c, k])), reverse=True)
+            got = [d["score"] for d in results[i]["detections"]]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["served"] == len(imgs) + 1
+        # coalescing happened: strictly fewer dispatches than images
+        assert health["dispatches"] < health["served"]
+    finally:
+        boot["httpd"].shutdown()
+
+
 def test_cross_platform_export_targets_tpu_from_cpu(tiny, tmp_path):
     """Cross-lowering: a CPU build host can emit the TPU serving artifact
     (jax.export platforms=- the serving fleet never needs model code)."""
