@@ -134,6 +134,106 @@ def bench_train(cfg) -> float:
     return b * iters / dt
 
 
+def bench_train_e2e(cfg) -> dict:
+    """Full train-path throughput: JPEG fixtures on disk -> native C++
+    loader (decode + augment + window assembly) -> H2D -> on-device label
+    rasterization -> jitted stage-2 step.  The synthetic bench_train
+    number is the device ceiling; this measures the same step fed by the
+    real input pipeline (base_data_layer.cpp:80-108 async-prefetch
+    analog) and reports how much of each iteration the device spends
+    waiting on input.
+
+    Run via MSCNN_BENCH_E2E=1 python bench.py (prints its own JSON line;
+    the default driver protocol is unchanged).
+    """
+    import shutil
+    import tempfile
+
+    import cv2
+    import numpy as np
+
+    from mscnn_tpu.data import native_loader as NL
+    from mscnn_tpu.data import pipeline as P
+    from mscnn_tpu.data import window_file as W
+    from mscnn_tpu.data.augment import AugmentSpec
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.train import solver as S
+    from mscnn_tpu.train import train_step as T
+
+    b = 4
+    # the flagship ImageGtData geometry (trainval_2nd.prototxt:24-32):
+    # resize 2560x768, random-crop 1024x768, batch 4, min_gt_height 45
+    aug = AugmentSpec(template_hw=(768, 1024), resize_hw=(768, 2560),
+                      mirror=True, min_gt_height=45.0)
+    dspec = P.DatasetSpec(batch_size=b)
+
+    # KITTI-native-sized JPEG fixtures (1242x375) with plausible boxes
+    root = tempfile.mkdtemp(prefix="mscnn_e2e_")
+    try:
+        rng = np.random.RandomState(0)
+        images = []
+        for i in range(32):
+            img = rng.randint(0, 255, (375, 1242, 3), dtype=np.uint8)
+            path = os.path.join(root, f"im_{i:03d}.jpg")
+            cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+            n_gt = rng.randint(2, 6)
+            x1 = rng.uniform(0, 1000, n_gt)
+            y1 = rng.uniform(50, 250, n_gt)
+            bw = rng.uniform(40, 200, n_gt)
+            bh = rng.uniform(30, 100, n_gt)
+            gts = np.stack([np.ones(n_gt), np.zeros(n_gt),
+                            x1, y1, np.minimum(x1 + bw, 1241),
+                            np.minimum(y1 + bh, 374)], -1)
+            images.append(W.WindowImage(path, 3, 375, 1242,
+                                        gts.astype(np.float32),
+                                        np.zeros((0, 4), np.float32)))
+        wf = os.path.join(root, "windows.txt")
+        W.write_window_file(wf, images)
+
+        params = M.init_params(jax.random.key(0), cfg)
+        tspec = T.TrainSpec(stage=2, with_metrics=False)
+        sspec = S.SolverSpec(type="sgd", base_lr=5e-5, lr_policy="step",
+                             gamma=0.1, stepsize=10000, momentum=0.9,
+                             weight_decay=5e-4)
+        step = T.make_train_step(
+            cfg, tspec, sspec,
+            lr_mults=M.param_lr_multipliers(params, cfg),
+            decay_mults=M.param_decay_multipliers(params, cfg),
+            donate=True)
+        state = {"params": params, "solver": S.init_state(params, sspec)}
+
+        def device_put(batch):
+            return jax.tree.map(jnp.asarray, batch)
+
+        with NL.make_loader(wf, aug, dspec, device_put=device_put) as src:
+            key = jax.random.key(1)
+            state, metrics = step(state, src.get(), key)   # compile
+            jax.block_until_ready(metrics)
+            for i in range(3):                             # warmup
+                state, metrics = step(state, src.get(),
+                                      jax.random.fold_in(key, i))
+            jax.block_until_ready(metrics)
+
+            iters = 30
+            get_s = 0.0
+            t0 = time.perf_counter()
+            for i in range(iters):
+                g0 = time.perf_counter()
+                batch = src.get()
+                get_s += time.perf_counter() - g0
+                state, metrics = step(state, batch,
+                                      jax.random.fold_in(key, 10 + i))
+            jax.block_until_ready(metrics)
+            dt = time.perf_counter() - t0
+        return {
+            "train_e2e_images_per_sec": round(b * iters / dt, 3),
+            "input_wait_ms_per_iter": round(get_s / iters * 1e3, 3),
+            "iter_ms": round(dt / iters * 1e3, 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_nms_p50(cfg) -> float:
     """Median per-call device time (ms) of the deploy NMS pass.
 
@@ -175,6 +275,16 @@ def bench_nms_p50(cfg) -> float:
 
 def main():
     from mscnn_tpu.models import zoo
+
+    if os.environ.get("MSCNN_BENCH_E2E") not in (None, "", "0"):
+        # standalone end-to-end train-path mode (loader -> H2D -> step);
+        # the driver's default protocol below is untouched
+        cfg = zoo.kitti_car_8s_768(deploy=False)
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        print(json.dumps({"metric": "kitti_train_e2e_images_per_sec",
+                          "unit": "images/sec/chip",
+                          **bench_train_e2e(cfg)}))
+        return
 
     # the BASELINE.json reference model: mscnn-8s-768-trainval
     deploy_cfg = zoo.kitti_car_8s_768(deploy=True, max_out=256)

@@ -340,21 +340,41 @@ def cmd_time(args):
                   "runs on the generic net builder)")
             return 1
         return _time_layers(args)
+    ccfg = None
     if args.model:
         cfg, tspec, _, _, _ = Z.model_from_prototxt(args.model)
     else:
-        cfg = zoo.get(args.zoo or "kitti_car/mscnn-7s-576-2x")
+        kwargs = {"deploy": True} if getattr(args, "deploy", False) else {}
+        cfg = zoo.get(args.zoo or "kitti_car/mscnn-7s-576-2x", **kwargs)
         tspec = T.TrainSpec()
+    from mscnn_tpu.models.cascade import CascadeConfig
+    if isinstance(cfg, CascadeConfig):
+        ccfg, cfg = cfg, cfg.base
+    if getattr(args, "input_hw", None):
+        cfg = dataclasses.replace(cfg,
+                                  input_hw=tuple(args.input_hw))
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     cfg = _apply_conv1(cfg, args)
+    if ccfg is not None:
+        ccfg = dataclasses.replace(ccfg, base=cfg)
     b = args.batch_size or 4
     h, w = cfg.input_hw
-    params = M.init_params(jax.random.key(0), cfg)
 
-    fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))
     sspec = S.SolverSpec()
-    step = T.make_train_step(cfg, tspec, sspec, donate=False)
+    if ccfg is not None:
+        from mscnn_tpu.models import cascade as CC
+        from mscnn_tpu import inference as I
+        params = CC.init_params(jax.random.key(0), ccfg)
+        fwd = jax.jit(lambda p, x: I.cascade_deploy_outputs(p, x, ccfg))
+        step = T.make_train_step(
+            cfg, tspec, sspec, donate=False,
+            loss_function=functools.partial(
+                _cascade_objective, ccfg=ccfg, roi_batch=tspec.roi_batch))
+    else:
+        params = M.init_params(jax.random.key(0), cfg)
+        fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))
+        step = T.make_train_step(cfg, tspec, sspec, donate=False)
 
     from mscnn_tpu.data.synthetic import make_batch
     batch = make_batch(cfg, batch=b)
@@ -384,11 +404,12 @@ def cmd_time(args):
         # (caffe.cpp:373-402) at subgraph granularity
         from mscnn_tpu.utils import profiling as P
 
-        stages = {
-            "trunk": jax.jit(lambda p, x: M.trunk(p, x, cfg)),
-            "full_deploy": jax.jit(
-                lambda p, x: M.deploy_forward(p, x, cfg)),
-        }
+        stages = {"full_deploy": fwd}
+        if ccfg is None:
+            stages = {
+                "trunk": jax.jit(lambda p, x: M.trunk(p, x, cfg)),
+                "full_deploy": fwd,
+            }
         peak = P.peak_flops()
         print(f"{'stage':<14}{'ms/img':>10}{'GFLOP':>10}{'MFU':>8}")
         rows = {}
@@ -407,7 +428,8 @@ def cmd_time(args):
             print(f"{name:<14}{ms:>10.2f}"
                   f"{(fl or 0) / 1e9:>10.1f}"
                   f"{('%.1f%%' % (100 * util)) if util else '   n/a':>8}")
-        (t_ms, t_fl), (f_ms, f_fl) = rows["trunk"], rows["full_deploy"]
+        (t_ms, t_fl), (f_ms, f_fl) = rows.get("trunk", (None, None)), \
+            rows["full_deploy"]
         if f_fl and t_fl:
             ms, fl = f_ms - t_ms, f_fl - t_fl
             util = fl / (ms / 1e3) / peak if (ms > 0 and peak) else None
@@ -1089,6 +1111,11 @@ def main(argv=None):
 
     p_time = sub.add_parser("time", help="benchmark fwd / fwd-bwd times")
     _add_common(p_time)
+    p_time.add_argument("--deploy", action="store_true",
+                        help="build the zoo config in deploy geometry "
+                             "(native/full-res input, deploy fg_thr)")
+    p_time.add_argument("--input-hw", type=int, nargs=2, metavar=("H", "W"),
+                        help="override the input size, e.g. 1024 1024")
     p_time.add_argument("--stages", action="store_true",
                         help="per-stage device time + MFU table "
                              "(loop-slope protocol)")
