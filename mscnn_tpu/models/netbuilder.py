@@ -190,7 +190,7 @@ _BUILDER_TYPES = (
     "SoftmaxWithLoss", "EuclideanLoss", "HingeLoss", "InfogainLoss",
     "SigmoidCrossEntropyLoss", "MultinomialLogisticLoss",
     "ContrastiveLoss", "LSTM", "RNN", "Embed", "BatchReindex",
-    "Parameter", "Python",
+    "Parameter", "Python", "Filter", "Im2col",
 )
 
 # Detection types served by the dedicated MS-CNN/cascade path
@@ -435,6 +435,19 @@ class Net:
                 # compact-to-front + zeroed tail)
                 for ti, t in enumerate(tops):
                     shapes[t] = tuple(shapes[bots[ti]])
+            elif ltype == "Im2col":
+                cp = layer.get("convolution_param", {})
+                k = int(cp.get("kernel_size", 3))
+                kh = int(cp.get("kernel_h", k))
+                kw = int(cp.get("kernel_w", k))
+                s = int(cp.get("stride", 1))
+                pad = int(cp.get("pad", 0))
+                d = int(cp.get("dilation", 1))
+                ekh, ekw = d * (kh - 1) + 1, d * (kw - 1) + 1
+                oh = (in_shape[1] + 2 * pad - ekh) // s + 1
+                ow = (in_shape[2] + 2 * pad - ekw) // s + 1
+                shapes[tops[0]] = (in_shape[0], oh, ow,
+                                   in_shape[-1] * kh * kw)
             elif ltype == "Crop":
                 ref = shapes[bots[1]]
                 cp = layer.get("crop_param", {})
@@ -648,6 +661,15 @@ class Net:
             p = self.layer_params(params, name)
             x = bots[0].reshape(bots[0].shape[0], -1)
             out = C.dense(x, p["w"], p.get("b"))
+        elif ltype == "Im2col":
+            cp = layer.get("convolution_param", {})
+            k = int(cp.get("kernel_size", 3))
+            out = LY.im2col(
+                bots[0],
+                (int(cp.get("kernel_h", k)), int(cp.get("kernel_w", k))),
+                stride=int(cp.get("stride", 1)),
+                pad=int(cp.get("pad", 0)),
+                dilation=int(cp.get("dilation", 1)))
         elif ltype == "Pooling":
             pp = layer.get("pooling_param", {})
             mode = str(pp.get("pool", "MAX")).upper()

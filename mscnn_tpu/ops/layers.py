@@ -259,6 +259,27 @@ def filter_(xs: Sequence, selector):
     return [x[order] for x in xs], keep[order]
 
 
+def im2col(x, kernel, stride: int = 1, pad: int = 0, dilation: int = 1):
+    """Im2col as a graph layer (im2col_layer.cpp / util/im2col.cpp:11-60):
+    each output position's receptive-field patch becomes its channel
+    vector, ordered Caffe-style channel-major (c*kh*kw + ki*kw + kj).
+
+    x: [B, H, W, C] NHWC -> [B, OH, OW, C*kh*kw]. The reference emits
+    NCHW [B, C*kh*kw, OH, OW]; under this framework's NHWC convention the
+    channel axis carries the same c-major patch order, so a downstream
+    InnerProduct/Reshape consumes identical per-position vectors. XLA
+    lowers conv_general_dilated_patches to the same gather/reshape it
+    fuses into convolutions — no materialized intermediate unless the
+    graph actually uses it.
+    """
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+    return lax.conv_general_dilated_patches(
+        x, (kh, kw), (stride, stride),
+        [(pad, pad), (pad, pad)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def spp(x, pyramid_height: int = 3, pool: str = "max"):
     """Spatial pyramid pooling (spp_layer.cpp): levels of 2^l x 2^l grids
     max-pooled and flattened. x: [B, H, W, C] -> [B, D]."""
@@ -434,7 +455,7 @@ LAYERS = {
     "Reshape": reshape, "Eltwise": eltwise, "Crop": crop, "Tile": tile,
     "ArgMax": argmax, "BatchReindex": batch_reindex, "Embed": embed,
     "Reduction": reduction, "Silence": silence, "Filter": filter_,
-    "SPP": spp,
+    "SPP": spp, "Im2col": im2col,
     "EuclideanLoss": euclidean_loss, "HingeLoss": hinge_loss,
     "SigmoidCrossEntropyLoss": sigmoid_cross_entropy_loss,
     "MultinomialLogisticLoss": multinomial_logistic_loss,
