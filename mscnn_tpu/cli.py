@@ -364,15 +364,34 @@ def cmd_time(args):
     sspec = S.SolverSpec()
     if ccfg is not None:
         from mscnn_tpu.models import cascade as CC
-        from mscnn_tpu import inference as I
         params = CC.init_params(jax.random.key(0), ccfg)
+    else:
+        params = M.init_params(jax.random.key(0), cfg)
+    if getattr(args, "int8", False):
+        # timing-only PTQ: scales calibrated from synthetic images (the
+        # numerics are covered by examples/synthetic_e2e*.py; perf is
+        # identical for any scale values). The fwd timings below then run
+        # the int8 trunk; the train step keeps the compute dtype (PTQ is
+        # deploy-only, like the reference's deploy-time optimizations).
+        import numpy as _np
+        from mscnn_tpu.ops import quant as Q
+        cal = _np.random.RandomState(0).rand(2, h, w, 3) \
+            .astype(_np.float32) * 150.0 - 75.0
+        scales = Q.calibrate_trunk_scales(
+            params, cfg, cal,
+            include_conv1=not (cfg.pallas_conv1 or cfg.s2d_conv1))
+        params = Q.quantize_trunk(params, scales)
+        cfg = dataclasses.replace(cfg, int8_trunk=True)
+        if ccfg is not None:
+            ccfg = dataclasses.replace(ccfg, base=cfg)
+    if ccfg is not None:
+        from mscnn_tpu import inference as I
         fwd = jax.jit(lambda p, x: I.cascade_deploy_outputs(p, x, ccfg))
         step = T.make_train_step(
             cfg, tspec, sspec, donate=False,
             loss_function=functools.partial(
                 _cascade_objective, ccfg=ccfg, roi_batch=tspec.roi_batch))
     else:
-        params = M.init_params(jax.random.key(0), cfg)
         fwd = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))
         step = T.make_train_step(cfg, tspec, sspec, donate=False)
 
@@ -391,11 +410,18 @@ def cmd_time(args):
         return (_time.perf_counter() - t0) / iters * 1e3
 
     fwd_ms = bench(fwd, params, images)
-    step_ms = bench(lambda s: step(s, batch, jax.random.key(0))[1], state)
     print(f"Average Forward pass: {fwd_ms:.2f} ms ({b} images)")
-    print(f"Average Forward-Backward-Update: {step_ms:.2f} ms")
-    print(f"Throughput: {b / (step_ms / 1e3):.2f} train img/s, "
-          f"{b / (fwd_ms / 1e3):.2f} infer img/s")
+    if getattr(args, "int8", False):
+        # PTQ is deploy-only: int8 weights have no meaningful
+        # fwd-bwd-update, so only the forward is timed
+        print(f"Throughput: {b / (fwd_ms / 1e3):.2f} infer img/s "
+              "(int8: train timing skipped)")
+    else:
+        step_ms = bench(lambda s: step(s, batch, jax.random.key(0))[1],
+                        state)
+        print(f"Average Forward-Backward-Update: {step_ms:.2f} ms")
+        print(f"Throughput: {b / (step_ms / 1e3):.2f} train img/s, "
+              f"{b / (fwd_ms / 1e3):.2f} infer img/s")
 
     if getattr(args, "stages", False):
         # per-stage time + MFU: pipelined-dispatch protocol (the only
@@ -537,16 +563,17 @@ def cmd_detect(args):
         num_classes = cfg.num_classes
 
     if compiled is None and getattr(args, "int8", False):
-        if ccfg is not None:
-            print("--int8 currently covers the plain deploy trunk, not "
-                  "cascades")
-            return 1
+        # cascades share the single-stage VGG trunk (CC.init_params wraps
+        # M.init_params), so trunk-only PTQ applies unchanged; the ROI
+        # stage heads stay in the compute dtype either way
         ncal = max(int(getattr(args, "calib_images", 4) or 4), 1)
         quantized = _int8_quantize(params, cfg, args.image_dir, ncal)
         if quantized is None:
             print("no readable calibration images")
             return 1
         params, cfg = quantized
+        if ccfg is not None:
+            ccfg = dataclasses.replace(ccfg, base=cfg)
 
     names = args.class_names.split(",") if args.class_names else \
         I.KITTI_CLASS_NAMES["kitti_car"][: num_classes]
@@ -839,10 +866,6 @@ def cmd_compile(args):
     if args.weights:
         params = CKPT.restore_params(args.weights, params)
     if getattr(args, "int8", False):
-        if ccfg is not None:
-            print("--int8 currently covers the plain deploy trunk, not "
-                  "cascades")
-            return 1
         if not args.calib_dir:
             print("--int8 needs --calib-dir (images for PTQ calibration)")
             return 1
@@ -852,6 +875,10 @@ def cmd_compile(args):
             print("no readable calibration images in --calib-dir")
             return 1
         params, cfg = quantized
+        if ccfg is not None:
+            # cascades share the single-stage trunk; trunk-only PTQ
+            # applies unchanged (stage heads stay in the compute dtype)
+            ccfg = dataclasses.replace(ccfg, base=cfg)
     import os
 
     spec = I.DetectSpec(score_thr=args.score_thr)
@@ -1116,6 +1143,11 @@ def main(argv=None):
                              "(native/full-res input, deploy fg_thr)")
     p_time.add_argument("--input-hw", type=int, nargs=2, metavar=("H", "W"),
                         help="override the input size, e.g. 1024 1024")
+    p_time.add_argument("--int8", action="store_true",
+                        help="post-training int8 trunk (deploy forward "
+                             "only; calibration from synthetic images — "
+                             "timing-valid, numerics covered by the "
+                             "synthetic e2e quality loops)")
     p_time.add_argument("--stages", action="store_true",
                         help="per-stage device time + MFU table "
                              "(loop-slope protocol)")

@@ -189,3 +189,39 @@ def test_int8_roi_table_equals_quantized_exact_pool(rng):
     np.testing.assert_array_equal(
         np.asarray(q_pool),
         np.asarray(Q.quantize_act(f32_pool, xs)))
+
+
+def test_int8_cascade_deploy_agrees_with_float(rng):
+    """Trunk-only PTQ applies unchanged to cascades (shared VGG trunk;
+    models/cascade.init_params wraps M.init_params): the quantized
+    3-stage deploy must run and track the float oracle's scores."""
+    import dataclasses
+
+    from mscnn_tpu import inference as I
+    from mscnn_tpu.models import cascade as CC
+
+    ccfg = CC.CascadeConfig(base=zoo.tiny_test_config(num_classes=2,
+                                                      deploy=True))
+    params = CC.init_params(jax.random.key(0), ccfg)
+    imgs = rng.randn(2, *ccfg.base.input_hw, 3).astype(np.float32) * 40.0
+
+    scales = Q.calibrate_trunk_scales(params, ccfg.base, imgs,
+                                      include_conv1=True)
+    qparams = Q.quantize_trunk(params, scales)
+    qccfg = dataclasses.replace(ccfg, base=dataclasses.replace(
+        ccfg.base, int8_trunk=True))
+
+    ref = I.cascade_deploy_outputs(params, jnp.asarray(imgs), ccfg)
+    got = I.cascade_deploy_outputs(qparams, jnp.asarray(imgs), qccfg)
+    assert sorted(got) == sorted(ref)
+    for ga, ra in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert ga.shape == ra.shape
+        assert bool(jnp.all(jnp.isfinite(ga.astype(jnp.float32))))
+    # final-stage classification scores track the float path. Random-init
+    # weights are the worst case: int8 error compounds through 3 stages
+    # (stage-k ROIs shift under quantization, decorrelating the logits),
+    # so this is a smoke bound — the trained-weights quality number is
+    # examples/synthetic_e2e_cascade.py's int8 AP (BENCH.md).
+    a = np.asarray(ref["cls_pred"], np.float32).ravel()
+    b = np.asarray(got["cls_pred"], np.float32).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.7
