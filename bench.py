@@ -162,9 +162,13 @@ def bench_train_e2e(cfg) -> dict:
 
     b = 4
     # the flagship ImageGtData geometry (trainval_2nd.prototxt:24-32):
-    # resize 2560x768, random-crop 1024x768, batch 4, min_gt_height 45
+    # resize 2560x768, random-crop 1024x768, batch 4, min_gt_height 45.
+    # Default ships raw uint8 canvases and normalizes on device (4x less
+    # H2D traffic, bit-identical — tests/test_native_loader.py);
+    # MSCNN_E2E_FLOAT=1 measures the float32-transfer control.
+    emit_u8 = os.environ.get("MSCNN_E2E_FLOAT") in (None, "", "0")
     aug = AugmentSpec(template_hw=(768, 1024), resize_hw=(768, 2560),
-                      mirror=True, min_gt_height=45.0)
+                      mirror=True, min_gt_height=45.0, emit_uint8=emit_u8)
     dspec = P.DatasetSpec(batch_size=b)
 
     # KITTI-native-sized JPEG fixtures (1242x375) with plausible boxes
@@ -229,6 +233,7 @@ def bench_train_e2e(cfg) -> dict:
             "train_e2e_images_per_sec": round(b * iters / dt, 3),
             "input_wait_ms_per_iter": round(get_s / iters * 1e3, 3),
             "iter_ms": round(dt / iters * 1e3, 3),
+            "input_mode": "uint8" if emit_u8 else "float32",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -131,6 +131,12 @@ def _build_training(args, solver_path):
     cfg = _apply_conv1(cfg, args)
     if ccfg is not None:
         ccfg = dataclasses.replace(ccfg, base=cfg)
+    if getattr(args, "uint8_input", False):
+        # raw uint8 canvases + device-side normalization (bit-identical,
+        # 4x less H2D; tests/test_native_loader.py pins the equality)
+        aug = dataclasses.replace(aug, emit_uint8=True)
+        tspec = dataclasses.replace(tspec, input_mean=aug.mean_values,
+                                    input_scale=aug.scale)
 
     window_file = args.window_file or os.path.join(
         os.path.dirname(net_path), source)
@@ -1109,6 +1115,10 @@ def _add_common(p):
     p.add_argument("--no-native", action="store_true",
                    help="use the Python data pipeline instead of the "
                         "C++ loader")
+    p.add_argument("--uint8-input", action="store_true",
+                   help="ship raw uint8 image canvases and normalize on "
+                        "device (bit-identical; 4x less host->device "
+                        "traffic)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--zoo", help="built-in zoo config name (cmd_time)")
 

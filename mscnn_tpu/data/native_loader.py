@@ -39,6 +39,7 @@ class _CLoaderConfig(ctypes.Structure):
         ("min_gt_h", ctypes.c_float), ("fg_img_multiple", ctypes.c_int),
         ("shuffle", ctypes.c_int), ("seed", ctypes.c_uint64),
         ("num_workers", ctypes.c_int), ("queue_depth", ctypes.c_int),
+        ("emit_uint8", ctypes.c_int),
     ]
 
 
@@ -71,6 +72,9 @@ def _load_lib():
     global _lib
     if _lib is None:
         lib = ctypes.CDLL(build_native())
+        if not hasattr(lib, "mscnn_loader_next_u8"):
+            # stale build from before the uint8 path: rebuild in place
+            lib = ctypes.CDLL(build_native(force=True))
         lib.mscnn_loader_create.restype = ctypes.c_void_p
         lib.mscnn_loader_create.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(_CLoaderConfig)]
@@ -81,6 +85,11 @@ def _load_lib():
         lib.mscnn_loader_next.argtypes = [ctypes.c_void_p] + \
             [np.ctypeslib.ndpointer(dtype=d, flags="C_CONTIGUOUS")
              for d in (np.float32, np.float32, np.uint8, np.float32,
+                       np.uint8, np.float32)]
+        lib.mscnn_loader_next_u8.restype = ctypes.c_int
+        lib.mscnn_loader_next_u8.argtypes = [ctypes.c_void_p] + \
+            [np.ctypeslib.ndpointer(dtype=d, flags="C_CONTIGUOUS")
+             for d in (np.uint8, np.float32, np.uint8, np.float32,
                        np.uint8, np.float32)]
         lib.mscnn_loader_destroy.argtypes = [ctypes.c_void_p]
         lib.mscnn_loader_last_error.restype = ctypes.c_char_p
@@ -121,9 +130,11 @@ class NativeLoader:
             min_gt_w=aug.min_gt_width, min_gt_h=aug.min_gt_height,
             fg_img_multiple=spec.fg_img_multiple, shuffle=int(spec.shuffle),
             seed=spec.seed, num_workers=num_workers, queue_depth=queue_depth,
+            emit_uint8=int(getattr(aug, "emit_uint8", False)),
         )
         self._lib = lib
         self._spec = spec
+        self._uint8 = bool(getattr(aug, "emit_uint8", False))
         self._shape = (spec.batch_size, th, tw)
         if is_record_shard(window_file):
             # packed shard: one descriptor, pread + imdecode in the workers
@@ -140,13 +151,16 @@ class NativeLoader:
     def next_batch(self) -> dict:
         b, th, tw = self._shape
         g, rn = self._spec.max_gts, self._spec.max_ronis
-        image = np.empty((b, th, tw, 3), np.float32)
+        image = np.empty((b, th, tw, 3),
+                         np.uint8 if self._uint8 else np.float32)
         gt_boxes = np.empty((b, g, 7), np.float32)
         gt_valid = np.empty((b, g), np.uint8)
         ronis = np.empty((b, rn, 4), np.float32)
         roni_valid = np.empty((b, rn), np.uint8)
         copy_region = np.empty((b, 4), np.float32)
-        rc = self._lib.mscnn_loader_next(
+        next_fn = self._lib.mscnn_loader_next_u8 if self._uint8 \
+            else self._lib.mscnn_loader_next
+        rc = next_fn(
             self._handle, image, gt_boxes, gt_valid, ronis, roni_valid,
             copy_region)
         if rc != 0:

@@ -52,6 +52,11 @@ class TrainSpec:
     roi_bg_thr_hg: float = 0.49
     roi_bg_thr_lw: float = 0.1
     with_metrics: bool = True
+    # image normalization for uint8 loader batches (AugmentSpec
+    # emit_uint8): (img - mean) * scale happens on device, masked to the
+    # pasted copy region so values match the float loader path exactly
+    input_mean: tuple = (104.0, 117.0, 123.0)
+    input_scale: float = 1.0
 
 
 def branch_loss_specs(cfg: M.MSCNNConfig, tspec: TrainSpec):
@@ -100,6 +105,33 @@ def rasterize_batch(batch, cfg: M.MSCNNConfig, tspec: TrainSpec):
     return jax.vmap(one)(batch["gt_boxes"], batch["gt_valid"],
                          batch["ronis"], batch["roni_valid"],
                          batch["copy_region"])
+
+
+def normalize_uint8_batch(batch, tspec: TrainSpec):
+    """Device-side image normalization for uint8 loader batches.
+
+    The augment chain keeps the image uint8 until the final paste
+    (image_gt_data_layer.cpp:568-599 does the same: cv::Mat bytes into a
+    mean-subtracted float blob), so shipping raw uint8 and normalizing
+    here is bit-identical to the float loader path while moving 4x fewer
+    bytes host->device. Outside the pasted copy region the float path
+    holds zeros (the reference zero-fills the batch blob); the
+    copy-region mask reproduces that exactly.
+    No-op for float batches (the oracle path).
+    """
+    img = batch.get("image")
+    if img is None or img.dtype != jnp.uint8:
+        return batch
+    _, h, w, _ = img.shape
+    mean = jnp.asarray(tspec.input_mean, jnp.float32)
+    x = (img.astype(jnp.float32) - mean) * tspec.input_scale
+    cr = batch["copy_region"]          # [B, 4] = (src_x, src_y, w, h)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :]
+    mx = (xs >= cr[:, 0:1]) & (xs < cr[:, 0:1] + cr[:, 2:3])
+    my = (ys >= cr[:, 1:2]) & (ys < cr[:, 1:2] + cr[:, 3:4])
+    mask = (my[:, :, None] & mx[:, None, :])[..., None]
+    return {**batch, "image": jnp.where(mask, x, 0.0)}
 
 
 def _flatten_gts(gt_boxes, gt_valid):
@@ -213,7 +245,12 @@ def make_train_step(cfg: M.MSCNNConfig, tspec: TrainSpec, sspec: S.SolverSpec,
     objective (signature (params, batch, key, cfg, tspec) -> (loss, metrics);
     the cascade trainer passes models.cascade's variant).
     """
-    objective = loss_function if loss_function is not None else loss_fn
+    user_objective = loss_function if loss_function is not None else loss_fn
+
+    def objective(params, batch, key, cfg, tspec):
+        # uint8 loader batches normalize on device (no-op for float)
+        return user_objective(params, normalize_uint8_batch(batch, tspec),
+                              key, cfg, tspec)
 
     # Backward-need pruning (net.cpp:191-247 parity): a param with
     # lr_mult 0 never updates (local_rate 0 and zero-initialized history),
@@ -294,7 +331,8 @@ def make_eval_step(cfg: M.MSCNNConfig, tspec: TrainSpec,
     eval_tspec = dataclasses.replace(tspec, with_metrics=True)
 
     def step(params, batch, key):
-        _, metrics = loss_fn(params, batch, key, cfg, eval_tspec)
+        _, metrics = loss_fn(params, normalize_uint8_batch(batch, tspec),
+                             key, cfg, eval_tspec)
         return metrics
 
     if mesh is None:

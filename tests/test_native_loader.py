@@ -139,3 +139,52 @@ def test_native_throughput_smoke(disk_dataset):
             loader.next_batch()
         dt = time.perf_counter() - t0
     assert dt / n < 0.5, f"native loader too slow: {dt / n:.3f}s per batch"
+
+
+def test_native_uint8_matches_float_after_device_normalize(disk_dataset):
+    """AugmentSpec.emit_uint8 ships raw bytes; after on-device
+    normalization (train_step.normalize_uint8_batch) the image must be
+    BIT-IDENTICAL to the float loader path — same seed, same batch."""
+    import jax.numpy as jnp
+
+    from mscnn_tpu.train import train_step as T
+
+    wf, _ = disk_dataset
+    spec = P.DatasetSpec(batch_size=3, max_gts=8, max_ronis=4, shuffle=False)
+    # octave rescale on: the interpolated resize is the risky case
+    kw = dict(do_multiple_scale=True, min_scale=30, max_scale=60,
+              resize_hw=(80, 100))
+    with NL.NativeLoader(wf, _aug(**kw), spec) as lf:
+        ref = lf.next_batch()
+    with NL.NativeLoader(wf, _aug(emit_uint8=True, **kw), spec) as lu:
+        raw = lu.next_batch()
+    assert raw["image"].dtype == np.uint8
+    for k in ("gt_boxes", "gt_valid", "ronis", "roni_valid", "copy_region"):
+        np.testing.assert_array_equal(raw[k], ref[k])
+    norm = T.normalize_uint8_batch(
+        {k: jnp.asarray(v) for k, v in raw.items()}, T.TrainSpec())
+    np.testing.assert_array_equal(np.asarray(norm["image"]), ref["image"])
+
+
+def test_python_uint8_augment_matches_float(disk_dataset):
+    """Same property on the pure-Python augment path."""
+    import jax.numpy as jnp
+
+    from mscnn_tpu.data import augment as A
+    from mscnn_tpu.train import train_step as T
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (70, 90, 3)).astype(np.uint8)
+    gts = np.array([[1, 0, 10, 20, 60, 65]], np.float32)
+    ronis = np.zeros((0, 4), np.float32)
+    kw = dict(resize_hw=(120, 150), do_multiple_scale=True,
+              min_scale=30, max_scale=60)
+    f = A.augment(np.random.RandomState(7), img, gts, ronis, _aug(**kw))
+    u = A.augment(np.random.RandomState(7), img, gts, ronis,
+                  _aug(emit_uint8=True, **kw))
+    assert u[0].dtype == np.uint8
+    batch = {"image": jnp.asarray(u[0][None]),
+             "copy_region": jnp.asarray(np.asarray(u[3], np.float32)[None])}
+    # copy_region convention: (src_x, src_y, copy_w, copy_h)
+    norm = T.normalize_uint8_batch(batch, T.TrainSpec())
+    np.testing.assert_array_equal(np.asarray(norm["image"][0]), f[0])
