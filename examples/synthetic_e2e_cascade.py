@@ -11,7 +11,9 @@ only exercises models/mscnn.py.
 Run: PYTHONPATH=.:/root/.axon_site python examples/synthetic_e2e_cascade.py
 Optional: ITERS=N (default 6000), ENSEMBLE=1 scores via the averaged
 cls_prob_3rd_avg ensemble (widerface run_cascademscnn.m:46) instead of
-the last head alone.
+the last head alone, ROIALIGN=1 uses ROIAlign pooling — ENSEMBLE=1
+ROIALIGN=1 together exercise the widerface cascade-12s-align
+configuration's scoring path on the tiny geometry.
 """
 import dataclasses
 import functools
@@ -29,8 +31,11 @@ from mscnn_tpu.models import zoo
 from mscnn_tpu.train import solver as S
 from mscnn_tpu.train import train_step as T
 
+_base = zoo.tiny_test_config(num_classes=2)
+if int(os.environ.get("ROIALIGN", "0")):
+    _base = dataclasses.replace(_base, roi_align=True)
 ccfg = CC.CascadeConfig(
-    base=zoo.tiny_test_config(num_classes=2),
+    base=_base,
     ensemble_avg=bool(int(os.environ.get("ENSEMBLE", "0"))))
 cfg = ccfg.base
 H, W = cfg.input_hw
