@@ -198,29 +198,30 @@ class NativeLoader:
 
 def make_loader(window_file: str, aug: AugmentSpec, spec: DatasetSpec,
                 root_folder: str = "", prefer_native: bool = True,
-                device_put=None):
+                device_put=None, num_workers: int = 2, queue_depth: int = 3):
     """Batch-source factory: native C++ loader when buildable, else the
     Python dataset wrapped in the threaded Prefetcher. Returns an object
     with .get() -> batch dict and .close()."""
     if prefer_native and native_available():
-        loader = NativeLoader(window_file, aug, spec, root_folder)
+        loader = NativeLoader(window_file, aug, spec, root_folder,
+                              num_workers=num_workers,
+                              queue_depth=queue_depth)
         if device_put is None:
             return loader
 
-        class _Wrapped:
-            def get(self):
-                return device_put(loader.next_batch())
+        # run device_put in a Prefetcher worker thread (depth 2) so the
+        # host->device transfer overlaps the device's current step — the
+        # same overlap the Python pipeline gets, and the difference
+        # between serialized H2D and hidden H2D on slow links
+        # (BENCH.md round 4: the e2e train bench's input wait)
+        from mscnn_tpu.data import pipeline as P
 
+        class _CloseBoth(P.Prefetcher):
             def close(self):
+                super().close()
                 loader.close()
 
-            def __enter__(self):
-                return self
-
-            def __exit__(self, *a):
-                self.close()
-
-        return _Wrapped()
+        return _CloseBoth(loader, depth=2, device_put=device_put)
     from mscnn_tpu.data import pipeline as P
     if is_record_shard(window_file):
         from mscnn_tpu.data import records as R
