@@ -73,6 +73,10 @@ def _build_generic_training(args, fields, net_path, sspec, lspec):
     if args.bf16:
         raise SystemExit("--bf16 applies to the MSCNN compute-dtype "
                          "config; generic prototxt nets run f32")
+    if getattr(args, "uint8_input", False):
+        raise SystemExit("--uint8-input is the ImageGtData loader path; "
+                         "generic prototxt nets read their own data "
+                         "layers (no silent fallback)")
     mesh = data_parallel_mesh(args.devices) if args.devices > 1 else None
     phase = getattr(args, "phase", "TRAIN") or "TRAIN"
     state, step, batch_source, net = G.setup(

@@ -154,9 +154,13 @@ def test_native_uint8_matches_float_after_device_normalize(disk_dataset):
     # octave rescale on: the interpolated resize is the risky case
     kw = dict(do_multiple_scale=True, min_scale=30, max_scale=60,
               resize_hw=(80, 100))
-    with NL.NativeLoader(wf, _aug(**kw), spec) as lf:
+    # num_workers=1: with >1 workers the first queued batch depends on
+    # thread scheduling, so the two loaders could hand back different
+    # (seed-deterministic) batches under load
+    with NL.NativeLoader(wf, _aug(**kw), spec, num_workers=1) as lf:
         ref = lf.next_batch()
-    with NL.NativeLoader(wf, _aug(emit_uint8=True, **kw), spec) as lu:
+    with NL.NativeLoader(wf, _aug(emit_uint8=True, **kw), spec,
+                         num_workers=1) as lu:
         raw = lu.next_batch()
     assert raw["image"].dtype == np.uint8
     for k in ("gt_boxes", "gt_valid", "ronis", "roni_valid", "copy_region"):
