@@ -85,6 +85,11 @@ class ProposalSpec:
     min_size: float = 15.0
     field_whr: float = 2.0
     field_xyr: float = 2.0
+    # per-branch pre-top-k before the global sort — exact, wins on
+    # many-branch dense pyramids (widerface 12s: -0.5 ms of 24.1 at
+    # 1024^2) but costs ~3% on the flagship whose propose is already
+    # ~1 ms, so it is a per-config opt-in (A/B in BENCH.md round 4)
+    prebranch_topk: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -347,6 +352,11 @@ def propose(head_outs, cfg: MSCNNConfig, *, apply_bbox_norm: bool = False):
                 bbox_mean=mean, bbox_std=std, min_size=p.min_size,
             )
             v = v & (s >= p.fg_thr)
+            if p.prebranch_topk and b.shape[0] > p.max_nms_num:
+                # exact: every global top-k element is inside its
+                # branch's top-k; shrinks the global sort from sum(n_b)
+                # to <= n_branches * k (see ProposalSpec.prebranch_topk)
+                b, s, v = nms_ops.topk_candidates(b, s, v, p.max_nms_num)
             all_b.append(b)
             all_s.append(s)
             all_v.append(v)

@@ -180,7 +180,8 @@ def widerface_12s_2x(*, deploy: bool = False, max_out: int = 512,
         for n, src, st, f in zip(names, sources, strides, fields))
     prop = ProposalSpec(
         fg_thr=-5.0 if deploy else -8.0, iou_thr=0.65, nms_mode="iou",
-        max_nms_num=2000 if deploy else 3000, max_out=max_out, min_size=2.0)
+        max_nms_num=2000 if deploy else 3000, max_out=max_out, min_size=2.0,
+        prebranch_topk=True)
     return MSCNNConfig(
         name="widerface/mscnn-12s-2x",
         num_classes=2,

@@ -116,3 +116,36 @@ def test_bf16_forward(tiny, rng):
     assert feats["conv4_3"].dtype == jnp.bfloat16
     outs = M.heads(params, feats, cfg16)
     assert outs[0].dtype == jnp.float32  # heads cast back for box math
+
+
+def test_prebranch_topk_is_exact():
+    """ProposalSpec.prebranch_topk must not change propose() outputs:
+    per-branch pre-top-k keeps every global top-k element (the widerface
+    perf opt-in, BENCH.md round 4)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    cfg = zoo.tiny_test_config(num_classes=2)
+    # tiny branches have 8x12=96 and 4x6=24 positions; max_nms_num 64
+    # makes the gate active on branch 1 only — both cases covered
+    assert cfg.proposal.max_nms_num == 64
+    params = M.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        2, *cfg.input_hw, 3).astype(np.float32) * 80.0)
+    outs = M.heads(params, M.trunk(params, x, cfg), cfg)
+    base = M.propose(outs, cfg)
+    pre_cfg = dataclasses.replace(cfg, proposal=dataclasses.replace(
+        cfg.proposal, prebranch_topk=True))
+    pre = M.propose(outs, pre_cfg)
+    np.testing.assert_array_equal(np.asarray(base["valid"]),
+                                  np.asarray(pre["valid"]))
+    np.testing.assert_array_equal(np.asarray(base["boxes"]),
+                                  np.asarray(pre["boxes"]))
+    np.testing.assert_array_equal(np.asarray(base["scores"]),
+                                  np.asarray(pre["scores"]))
