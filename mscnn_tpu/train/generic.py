@@ -11,10 +11,12 @@ pytrees, and one jitted value_and_grad + solver step trains it under the
 same train/loop.solve machinery (same LR policies, snapshots, signals).
 
 Data layers supported as batch sources: ImageData, HDF5Data, DummyData,
-WindowData (R-CNN crop-warp sampling), MemoryData (programmatic only).  `Data` (LMDB/LevelDB) has no reader here
-by design — convert with `mscnn convert_imageset` or use ImageData
-(SURVEY §2.2: LMDB exists only to feed JPEG bytes to Caffe's reader).
-HDF5/NCHW arrays are transposed to the NHWC activation layout on load.
+WindowData (R-CNN crop-warp sampling), MemoryData (programmatic only),
+and `Data` over LMDB environments (io/lmdb.py pure-Python reader; a
+LEVELDB-declared source that is actually LMDB — common in recycled
+prototxts — is sniffed and accepted, true LevelDB is convert-first via
+`mscnn convert_imageset`).  HDF5/NCHW arrays are transposed to the NHWC
+activation layout on load.
 """
 
 from __future__ import annotations
