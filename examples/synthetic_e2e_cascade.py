@@ -144,8 +144,17 @@ calib_imgs = np.stack([sample_scene(np.random.RandomState(7))[0]
 scales = Q.calibrate_trunk_scales(state["params"], dccfg.base, calib_imgs,
                                   include_conv1=True)
 qparams = Q.quantize_trunk(state["params"], scales)
-qccfg = dataclasses.replace(dccfg, base=dataclasses.replace(
-    dccfg.base, int8_trunk=True))
+qbase = dataclasses.replace(dccfg.base, int8_trunk=True)
+if os.environ.get("INT8_HEADS"):
+    # --int8-heads leg: the staged roi_c1/fc6 matmuls quantize too
+    # (MSCNNConfig.int8_roi_head), calibrated on the int8-trunk deploy
+    hccfg = dataclasses.replace(dccfg, base=qbase)
+    hscales = Q.calibrate_roi_head_scales(qparams, qbase, calib_imgs,
+                                          ccfg=hccfg)
+    qparams = Q.quantize_roi_heads(qparams, hscales)
+    qbase = dataclasses.replace(qbase, int8_roi_head=True)
+    print(f"int8 ROI heads: calibrated {sorted(hscales)}")
+qccfg = dataclasses.replace(dccfg, base=qbase)
 qfwd = I.make_cascade_forward(qparams, qccfg)
 rng3 = np.random.RandomState(99)
 qdets_all = []

@@ -350,6 +350,10 @@ def cmd_time(args):
                   "runs on the generic net builder)")
             return 1
         return _time_layers(args)
+    if getattr(args, "int8_heads", False) and not getattr(args, "int8",
+                                                          False):
+        print("--int8-heads extends the int8 trunk; pass --int8 too")
+        return 1
     ccfg = None
     if args.model:
         cfg, tspec, _, _, _ = Z.model_from_prototxt(args.model)
@@ -363,6 +367,13 @@ def cmd_time(args):
     if getattr(args, "input_hw", None):
         cfg = dataclasses.replace(cfg,
                                   input_hw=tuple(args.input_hw))
+    if getattr(args, "max_out", None):
+        # post-NMS roi capacity (fixed TPU shape). The zoo default is 512;
+        # bench.py's flagship protocol pins 256 — this flag makes capacity
+        # an explicit axis when timing (every ROI-stage cost is linear in
+        # it: gather rows AND head matmul rows)
+        cfg = dataclasses.replace(cfg, proposal=dataclasses.replace(
+            cfg.proposal, max_out=int(args.max_out)))
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     cfg = _apply_conv1(cfg, args)
@@ -392,6 +403,8 @@ def cmd_time(args):
             include_conv1=not (cfg.pallas_conv1 or cfg.s2d_conv1))
         params = Q.quantize_trunk(params, scales)
         cfg = dataclasses.replace(cfg, int8_trunk=True)
+        if getattr(args, "int8_heads", False):
+            params, cfg = _int8_quantize_heads(params, cfg, cal, ccfg=ccfg)
         if ccfg is not None:
             ccfg = dataclasses.replace(ccfg, base=cfg)
     if ccfg is not None:
@@ -474,9 +487,12 @@ def cmd_time(args):
     return 0
 
 
-def _int8_quantize(params, cfg, image_dir, ncal):
+def _int8_quantize(params, cfg, image_dir, ncal, *, ccfg=None,
+                   heads=False):
     """PTQ int8 trunk calibration from the first images of a directory.
-    Returns (params, cfg) or None when no image is readable."""
+    Returns (params, cfg) or None when no image is readable.  With
+    heads=True, additionally calibrates + quantizes the ROI-head matmuls
+    (roi_c1/fc6 incl. cascade suffixes) on the already-int8 trunk."""
     import glob
     import os
 
@@ -506,6 +522,25 @@ def _int8_quantize(params, cfg, image_dir, ncal):
     cfg = dataclasses.replace(cfg, int8_trunk=True)
     print(f"int8 trunk: calibrated {len(scales)} layers from "
           f"{len(cals)} images")
+    if heads:
+        params, cfg = _int8_quantize_heads(params, cfg, _np.stack(cals),
+                                           ccfg=ccfg)
+    return params, cfg
+
+
+def _int8_quantize_heads(params, cfg, cal_images, *, ccfg=None):
+    """ROI-head PTQ on top of an (already-quantized) trunk: run the
+    deploy graph capturing the roi_c1/fc6 input maxima, quantize those
+    matmuls, and flip int8_roi_head."""
+    from mscnn_tpu.ops import quant as Q
+
+    hccfg = dataclasses.replace(ccfg, base=cfg) if ccfg is not None \
+        else None
+    hscales = Q.calibrate_roi_head_scales(params, cfg, cal_images,
+                                          ccfg=hccfg)
+    params = Q.quantize_roi_heads(params, hscales)
+    cfg = dataclasses.replace(cfg, int8_roi_head=True)
+    print(f"int8 ROI heads: calibrated {len(hscales)} matmuls")
     return params, cfg
 
 
@@ -514,6 +549,12 @@ def cmd_detect(args):
     (the run_mscnn_detection.m + writeDetForEval.m pipeline)."""
     import glob
     import os
+
+    if getattr(args, "int8_heads", False) \
+            and not getattr(args, "int8", False) \
+            and not getattr(args, "compiled", None):
+        print("--int8-heads extends the int8 trunk; pass --int8 too")
+        return 1
 
     import cv2
 
@@ -540,6 +581,7 @@ def cmd_detect(args):
             ("--model", args.model), ("--zoo", args.zoo),
             ("--weights", args.weights), ("--bf16", args.bf16),
             ("--int8", getattr(args, "int8", False)),
+            ("--int8-heads", getattr(args, "int8_heads", False)),
             ("--conv1", args.conv1 != "auto"),
             ("--score-thr", bool(args.score_thr)),
         ) if on]
@@ -577,7 +619,9 @@ def cmd_detect(args):
         # M.init_params), so trunk-only PTQ applies unchanged; the ROI
         # stage heads stay in the compute dtype either way
         ncal = max(int(getattr(args, "calib_images", 4) or 4), 1)
-        quantized = _int8_quantize(params, cfg, args.image_dir, ncal)
+        quantized = _int8_quantize(
+            params, cfg, args.image_dir, ncal, ccfg=ccfg,
+            heads=getattr(args, "int8_heads", False))
         if quantized is None:
             print("no readable calibration images")
             return 1
@@ -848,6 +892,10 @@ def cmd_compile(args):
     .caffemodel to a serving host (run_mscnn_detection.m:24-27) — except
     the host needs no model code, and the artifact can be cross-compiled
     for a platform the build machine lacks (--platforms tpu)."""
+    if getattr(args, "int8_heads", False) and not getattr(args, "int8",
+                                                          False):
+        print("--int8-heads extends the int8 trunk; pass --int8 too")
+        return 1
     from mscnn_tpu import inference as I
     from mscnn_tpu.config import zoo_import as Z
     from mscnn_tpu.io import aot
@@ -879,15 +927,17 @@ def cmd_compile(args):
         if not args.calib_dir:
             print("--int8 needs --calib-dir (images for PTQ calibration)")
             return 1
-        quantized = _int8_quantize(params, cfg, args.calib_dir,
-                                   max(int(args.calib_images or 4), 1))
+        quantized = _int8_quantize(
+            params, cfg, args.calib_dir,
+            max(int(args.calib_images or 4), 1), ccfg=ccfg,
+            heads=getattr(args, "int8_heads", False))
         if quantized is None:
             print("no readable calibration images in --calib-dir")
             return 1
         params, cfg = quantized
         if ccfg is not None:
-            # cascades share the single-stage trunk; trunk-only PTQ
-            # applies unchanged (stage heads stay in the compute dtype)
+            # cascades share the single-stage trunk; trunk PTQ applies
+            # unchanged (+ per-stage head matmuls under --int8-heads)
             ccfg = dataclasses.replace(ccfg, base=cfg)
     import os
 
@@ -1157,11 +1207,17 @@ def main(argv=None):
                              "(native/full-res input, deploy fg_thr)")
     p_time.add_argument("--input-hw", type=int, nargs=2, metavar=("H", "W"),
                         help="override the input size, e.g. 1024 1024")
+    p_time.add_argument("--max-out", type=int,
+                        help="post-NMS roi capacity (zoo default 512; "
+                             "bench.py's flagship protocol uses 256)")
     p_time.add_argument("--int8", action="store_true",
                         help="post-training int8 trunk (deploy forward "
                              "only; calibration from synthetic images — "
                              "timing-valid, numerics covered by the "
                              "synthetic e2e quality loops)")
+    p_time.add_argument("--int8-heads", action="store_true",
+        help="additionally quantize the ROI-head matmuls (roi_c1/fc6, "
+             "incl. cascade stages); requires --int8")
     p_time.add_argument("--stages", action="store_true",
                         help="per-stage device time + MFU table "
                              "(loop-slope protocol)")
@@ -1184,6 +1240,9 @@ def main(argv=None):
     p_det.add_argument("--int8", action="store_true",
                        help="post-training int8 trunk (ops/quant.py), "
                             "calibrated from the first --calib-images")
+    p_det.add_argument("--int8-heads", action="store_true",
+        help="additionally quantize the ROI-head matmuls (roi_c1/fc6, "
+             "incl. cascade stages); requires --int8")
     p_det.add_argument("--calib-images", type=int, default=4)
     p_det.add_argument("--compiled",
                        help="serve from an AOT artifact directory "
@@ -1291,6 +1350,9 @@ def main(argv=None):
                             "throughput protocol uses 4)")
     p_cmp.add_argument("--int8", action="store_true",
                        help="post-training int8 trunk; needs --calib-dir")
+    p_cmp.add_argument("--int8-heads", action="store_true",
+        help="additionally quantize the ROI-head matmuls (roi_c1/fc6, "
+             "incl. cascade stages); requires --int8")
     p_cmp.add_argument("--calib-dir",
                        help="image directory for int8 PTQ calibration")
     p_cmp.add_argument("--calib-images", type=int, default=4)

@@ -216,7 +216,7 @@ def loss_fn(params, batch, key, ccfg: CascadeConfig, tspec,
     return total, metrics
 
 
-def deploy_forward(params, images, ccfg: CascadeConfig):
+def deploy_forward(params, images, ccfg: CascadeConfig, *, captures=None):
     """Cascade inference: trunk -> proposals -> staged refinement. Returns
     the 3rd-stage outputs (proposals_3rd / cls_pred_3rd / bbox_pred_3rd,
     the blobs run_cascademscnn.m reads) plus `cls_prob_avg`, every stage's
@@ -238,7 +238,8 @@ def deploy_forward(params, images, ccfg: CascadeConfig):
     for si, st in enumerate(ccfg.stages):
         cls_pred, bbox_pred = M.roi_head(
             params, feats["conv4_3"], batch_idx, cur_boxes, cur_valid, cfg,
-            train=False, suffix=st.suffix, feat=feat2x, image_major=True)
+            train=False, suffix=st.suffix, feat=feat2x, image_major=True,
+            captures=captures)
         if si + 1 < len(ccfg.stages):
             cur_boxes, cur_valid = box_ops.decode_bbox(
                 bbox_pred, cur_boxes, cur_valid,
@@ -251,7 +252,8 @@ def deploy_forward(params, images, ccfg: CascadeConfig):
     for st in ccfg.stages[:-1]:
         cp, _ = M.roi_head(
             params, feats["conv4_3"], batch_idx, cur_boxes, cur_valid, cfg,
-            train=False, suffix=st.suffix, feat=feat2x, image_major=True)
+            train=False, suffix=st.suffix, feat=feat2x, image_major=True,
+            captures=captures)
         cls_probs.append(jax.nn.softmax(cp, axis=-1))
 
     return {

@@ -132,6 +132,11 @@ class MSCNNConfig:
     # w_q/w_s/x_s leaves (ops/quant.py quantize_trunk); layers without
     # them keep the float path, so a half-calibrated model still runs
     int8_trunk: bool = False
+    # post-training int8 ROI-head matmuls (roi_c1 conv + fc6 dense, incl.
+    # cascade-stage suffixes — deep contractions, K = 9.2k/12.8k, the
+    # good int8 MXU regime per the round-3 characterization). Same leaf
+    # scheme via quantize_roi_heads; cls/bbox preds stay float.
+    int8_roi_head: bool = False
 
     @property
     def head_channels(self) -> int:
@@ -384,7 +389,8 @@ def upsampled_roi_feature(params, conv4_3, cfg: MSCNNConfig):
 
 def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
              *, train: bool = False, dropout_key: Optional[jax.Array] = None,
-             suffix: str = "", feat=None, image_major: bool = False):
+             suffix: str = "", feat=None, image_major: bool = False,
+             captures: Optional[dict] = None):
     """Detection sub-network over proposals.
 
     conv4_3: [B, H/8, W/8, 512]; batch_idx: [R]; rois: [R, 4] corners;
@@ -449,11 +455,34 @@ def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
         ctx = pool(cfg.roi_pad_ratio)
     x = jnp.concatenate([org, ctx], axis=-1).astype(cfg.cdtype())
 
+    def _capture(name, a):
+        # abs-max of a quantizable input, for PTQ calibration
+        # (ops/quant.calibrate_roi_head_scales); the cascade re-score
+        # heads revisit a suffix, so fold maxima together
+        if captures is not None:
+            m = jnp.max(jnp.abs(a.astype(jnp.float32)))
+            captures[name] = jnp.maximum(captures[name], m) \
+                if name in captures else m
+
+    _capture(f"roi_c1{suffix}", x)
     p = params[f"roi_c1{suffix}"]
-    x = jax.nn.relu(C.conv2d(x, p["w"].astype(x.dtype), p["b"], padding="VALID"))
+    if cfg.int8_roi_head and "w_q" in p:
+        from mscnn_tpu.ops import quant as Q
+        x = jax.nn.relu(Q.conv2d_int8(x, p["x_s"], p["w_q"], p["w_s"],
+                                      p["b"], padding="VALID",
+                                      out_dtype=x.dtype))
+    else:
+        x = jax.nn.relu(C.conv2d(x, p["w"].astype(x.dtype), p["b"],
+                                 padding="VALID"))
     x = x.reshape(x.shape[0], -1)
+    _capture(f"fc6{suffix}", x)
     p = params[f"fc6{suffix}"]
-    x = jax.nn.relu(C.dense(x, p["w"].astype(x.dtype), p["b"]))
+    if cfg.int8_roi_head and "w_q" in p:
+        from mscnn_tpu.ops import quant as Q
+        x = jax.nn.relu(Q.dense_int8(x, p["x_s"], p["w_q"], p["w_s"],
+                                     p["b"], out_dtype=x.dtype))
+    else:
+        x = jax.nn.relu(C.dense(x, p["w"].astype(x.dtype), p["b"]))
     if train and cfg.dropout > 0:
         x = C.dropout(x, cfg.dropout, dropout_key, train=True)
     p = params[f"cls_pred{suffix}"]
@@ -473,13 +502,15 @@ def flatten_proposals(prop):
     return batch_idx, boxes, scores, valid
 
 
-def deploy_forward(params, images, cfg: MSCNNConfig):
+def deploy_forward(params, images, cfg: MSCNNConfig, *, captures=None):
     """Full inference graph: images -> proposals + per-roi cls/bbox preds.
 
     images: [B, H, W, 3] BGR mean-subtracted. Mirrors mscnn_deploy.prototxt:
     trunk -> heads -> BoxOutput -> 2x deconv -> ROI pool (org+ctx) -> FC head.
     Returns dict with proposals and raw cls_pred / bbox_pred (the final
     softmax + per-class decode + NMS live in mscnn_tpu.inference).
+    captures: optional dict populated with PTQ calibration maxima
+    (quant.calibrate_roi_head_scales).
     """
     feats = trunk(params, images, cfg)
     outs = heads(params, feats, cfg)
@@ -487,7 +518,8 @@ def deploy_forward(params, images, cfg: MSCNNConfig):
     batch_idx, boxes, scores, valid = flatten_proposals(prop)
     cls_pred, bbox_pred = roi_head(
         params, feats["conv4_3"], batch_idx, boxes, valid, cfg, train=False,
-        image_major=True)   # flatten_proposals emits R rois per image
+        image_major=True,   # flatten_proposals emits R rois per image
+        captures=captures)
     return {
         "proposals": prop,
         "batch_idx": batch_idx,

@@ -12,9 +12,13 @@ Scheme (the standard TPU-friendly PTQ recipe):
     x_q         = round(clip(x / x_s)),        x_s = calibrated max|x|/127
     y           = conv_int8(x_q, w_q) * (x_s * w_s) + b
 
-Only the trunk convolutions quantize (conv1..conv6, loss1_conv1 — where
-the deploy FLOPs live); the proposal heads / ROI stage stay bf16 for
-accuracy.  v5e int8 MXU peak is 2x bf16.  The conv1 pair participates via
+The trunk convolutions quantize by default (conv1..conv6, loss1_conv1 —
+where the single-stage deploy FLOPs live); the per-scale proposal heads
+stay bf16 (shallow shapes, no int8 gain — round-3 MXU characterization).
+The ROI-head matmuls (roi_c1 3x3x1024 conv, fc6 dense — K = 9.2k/12.8k,
+deep-contraction shapes) quantize as a separate opt-in
+(MSCNNConfig.int8_roi_head + quantize_roi_heads): they are a minor term
+of the single-stage graph but 3-5 head invocations of a cascade.  v5e int8 MXU peak is 2x bf16.  The conv1 pair participates via
 calibrate_trunk_scales(include_conv1=True) on the plain-conv path (the
 deploy default since r3: its full-res int8 halves the dominant HBM
 traffic, 55.3 -> 57.8 img/s over plain bf16 conv1 and beats the fused
@@ -59,10 +63,10 @@ CONV1_INT8 = ("conv1_1", "conv1_2")
 
 
 def quantize_weight(w) -> tuple:
-    """HWIO weight -> (int8 weight, [out_c] f32 scales), symmetric
-    per-output-channel."""
+    """HWIO conv weight (or [in, out] dense weight) -> (int8 weight,
+    [out_c] f32 scales), symmetric per-output-channel."""
     w = jnp.asarray(w, jnp.float32)
-    s = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    s = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
     s = jnp.maximum(s, 1e-12)
     q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
     return q, s
@@ -91,6 +95,22 @@ def conv2d_int8(x, x_scale, w_q, w_s, b=None, *, stride: int = 1,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
+    y = y.astype(jnp.float32) * (x_scale * w_s)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def dense_int8(x, x_scale, w_q, w_s, b=None, *, out_dtype=jnp.bfloat16):
+    """int8 x int8 -> int32 matmul, dequantized into `out_dtype`.
+
+    x: [M, K] float activation; w_q: [K, N] int8; w_s: [N] f32.
+    Same scheme as conv2d_int8 (the ROI head's fc6 is the one big dense
+    contraction in the deploy graph: K = 12.8k at pooled 7).
+    """
+    xq = quantize_act(x, x_scale)
+    y = lax.dot_general(xq, w_q, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * (x_scale * w_s)
     if b is not None:
         y = y + b.astype(jnp.float32)
@@ -149,6 +169,58 @@ def _input_blob(layer: str, cfg) -> str:
         "rpn_3_conv": "pool5", "rpn_4_conv": "pool6",
     }
     return wiring[layer]
+
+
+def calibrate_roi_head_scales(params, cfg, images, ccfg=None
+                              ) -> Dict[str, float]:
+    """Activation scales for the ROI-head matmuls (roi_c1 / fc6, incl.
+    cascade-stage suffixes) from representative images.
+
+    Runs the deploy graph with `captures` plumbed through roi_head
+    (models/mscnn.py): each quantizable input's abs-max comes back as a
+    scalar per layer name.  Plain max-abs, not a percentile: the pooled
+    blob is mostly exact zeros (masked invalid-roi rows), which poisons
+    percentile statistics in both directions.
+    """
+    import numpy as np
+
+    from mscnn_tpu.models import mscnn as M
+
+    def run(p, x):
+        caps: Dict[str, jax.Array] = {}
+        if ccfg is not None:
+            from mscnn_tpu.models import cascade as CC
+            CC.deploy_forward(p, x, ccfg, captures=caps)
+        else:
+            M.deploy_forward(p, x, cfg, captures=caps)
+        return caps
+
+    fn = jax.jit(run)
+    maxima: Dict[str, float] = {}
+    images = np.asarray(images)
+    for i in range(images.shape[0]):
+        caps = jax.device_get(fn(params, images[i: i + 1]))
+        for name, m in caps.items():
+            maxima[name] = max(maxima.get(name, 0.0), float(m))
+    return {k: max(v, 1e-6) / 127.0 for k, v in maxima.items()}
+
+
+def quantize_roi_heads(params, act_scales: Dict[str, float]):
+    """Augment the ROI-head matmul layers (roi_c1* conv, fc6* dense) with
+    int8 leaves, same layout as quantize_trunk.  cls_pred/bbox_pred stay
+    float (tiny contractions, and the bbox regression is
+    precision-sensitive)."""
+    out = {}
+    for name, p in params.items():
+        if name in act_scales and "w" in p \
+                and (name.startswith("roi_c1") or name.startswith("fc6")):
+            w_q, w_s = quantize_weight(p["w"])
+            p = dict(p)
+            p["w_q"] = w_q
+            p["w_s"] = w_s
+            p["x_s"] = jnp.asarray(act_scales[name], jnp.float32)
+        out[name] = p
+    return out
 
 
 def quantize_trunk(params, act_scales: Dict[str, float]):

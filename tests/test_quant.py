@@ -225,3 +225,89 @@ def test_int8_cascade_deploy_agrees_with_float(rng):
     a = np.asarray(ref["cls_pred"], np.float32).ravel()
     b = np.asarray(got["cls_pred"], np.float32).ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.7
+
+
+def test_dense_int8_close_to_float(rng):
+    """dense_int8 (the fc6 path) tracks the float matmul at PTQ error."""
+    from mscnn_tpu.ops import conv as C
+
+    x = jnp.asarray(rng.randn(32, 200) * 2.0, jnp.float32)
+    w = jnp.asarray(rng.randn(200, 48) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(48), jnp.float32)
+    ref = np.asarray(C.dense(x, w, b))
+
+    w_q, w_s = Q.quantize_weight(w)          # 2-D (in, out) weight path
+    assert w_q.shape == (200, 48) and w_s.shape == (48,)
+    x_s = jnp.float32(float(np.abs(np.asarray(x)).max()) / 127.0)
+    got = np.asarray(Q.dense_int8(x, x_s, w_q, w_s, b,
+                                  out_dtype=jnp.float32))
+    denom = np.abs(ref).mean()
+    assert np.abs(got - ref).mean() / denom < 0.02
+
+
+def test_calibrate_and_quantize_roi_heads(rng):
+    """Head PTQ flow on the tiny single-stage deploy: captured scales for
+    roi_c1/fc6, int8 leaves, and head-output agreement with the float
+    oracle (the pooled inputs are identical — only the two quantized
+    matmuls differ, so the bound is one-layer tight)."""
+    import dataclasses
+
+    cfg = zoo.tiny_test_config(deploy=True)
+    params = M.init_params(jax.random.key(0), cfg)
+    imgs = rng.randn(2, *cfg.input_hw, 3).astype(np.float32) * 40.0
+
+    hs = Q.calibrate_roi_head_scales(params, cfg, imgs)
+    assert set(hs) == {"roi_c1", "fc6"}
+    assert all(s > 0 for s in hs.values())
+    qparams = Q.quantize_roi_heads(params, hs)
+    for n in ("roi_c1", "fc6"):
+        assert qparams[n]["w_q"].dtype == jnp.int8
+        assert qparams[n]["w_s"].shape == (params[n]["w"].shape[-1],)
+    assert "w_q" not in qparams["cls_pred"]  # preds stay float
+
+    qcfg = dataclasses.replace(cfg, int8_roi_head=True)
+    x = jnp.asarray(imgs[:1])
+    ref = jax.jit(lambda p, x: M.deploy_forward(p, x, cfg))(params, x)
+    got = jax.jit(lambda p, x: M.deploy_forward(p, x, qcfg))(qparams, x)
+    np.testing.assert_array_equal(np.asarray(ref["roi_valid"]),
+                                  np.asarray(got["roi_valid"]))
+    a = np.asarray(ref["cls_pred"], np.float32)
+    b = np.asarray(got["cls_pred"], np.float32)
+    rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
+    assert rel < 0.15, f"cls_pred rel err {rel}"
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+
+
+def test_int8_cascade_heads_deploy(rng):
+    """Cascade head PTQ: per-stage suffixed scales come back from the
+    captures plumbing (incl. the ensemble re-score maxima fold), the
+    quantized 3-stage deploy runs, and scores track the float path."""
+    import dataclasses
+
+    from mscnn_tpu import inference as I
+    from mscnn_tpu.models import cascade as CC
+
+    ccfg = CC.CascadeConfig(
+        base=zoo.tiny_test_config(num_classes=2, deploy=True),
+        ensemble_avg=True)
+    params = CC.init_params(jax.random.key(0), ccfg)
+    imgs = rng.randn(1, *ccfg.base.input_hw, 3).astype(np.float32) * 40.0
+
+    hs = Q.calibrate_roi_head_scales(params, ccfg.base, imgs, ccfg=ccfg)
+    assert set(hs) == {"roi_c1", "fc6", "roi_c1_2nd", "fc6_2nd",
+                       "roi_c1_3rd", "fc6_3rd"}
+    qparams = Q.quantize_roi_heads(params, hs)
+    qccfg = dataclasses.replace(ccfg, base=dataclasses.replace(
+        ccfg.base, int8_roi_head=True))
+
+    ref = I.cascade_deploy_outputs(params, jnp.asarray(imgs), ccfg)
+    got = I.cascade_deploy_outputs(qparams, jnp.asarray(imgs), qccfg)
+    assert sorted(got) == sorted(ref)
+    for ga in jax.tree.leaves(got):
+        assert bool(jnp.all(jnp.isfinite(ga.astype(jnp.float32))))
+    # stage-k ROIs shift under quantized regression, so (like the trunk
+    # cascade gate above) this is a correlation smoke bound; the trained
+    # quality gate is examples/synthetic_e2e_cascade.py INT8_HEADS=1
+    a = np.asarray(ref["cls_prob"], np.float32).ravel()
+    b = np.asarray(got["cls_prob"], np.float32).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.7
