@@ -195,7 +195,8 @@ def bench_train_e2e(cfg) -> dict:
         W.write_window_file(wf, images)
 
         params = M.init_params(jax.random.key(0), cfg)
-        tspec = T.TrainSpec(stage=2, with_metrics=False)
+        tspec = T.sync_input_norm(
+            T.TrainSpec(stage=2, with_metrics=False), aug)
         sspec = S.SolverSpec(type="sgd", base_lr=5e-5, lr_policy="step",
                              gamma=0.1, stepsize=10000, momentum=0.9,
                              weight_decay=5e-4)

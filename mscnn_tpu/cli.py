@@ -139,8 +139,7 @@ def _build_training(args, solver_path):
         # raw uint8 canvases + device-side normalization (bit-identical,
         # 4x less H2D; tests/test_native_loader.py pins the equality)
         aug = dataclasses.replace(aug, emit_uint8=True)
-        tspec = dataclasses.replace(tspec, input_mean=aug.mean_values,
-                                    input_scale=aug.scale)
+        tspec = T.sync_input_norm(tspec, aug)
 
     window_file = args.window_file or os.path.join(
         os.path.dirname(net_path), source)

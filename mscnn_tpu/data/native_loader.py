@@ -43,9 +43,26 @@ class _CLoaderConfig(ctypes.Structure):
     ]
 
 
+def _lib_is_stale() -> bool:
+    """True if the built .so predates its sources. Checked BEFORE the first
+    dlopen: glibc caches loaded libraries by pathname, so a rebuild after
+    CDLL would silently keep serving the old image."""
+    try:
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+    for src in ("mscnn_loader.cc", "CMakeLists.txt"):
+        try:
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, src)) > lib_mtime:
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def build_native(force: bool = False) -> str:
-    """Compile the shared library if missing; returns its path."""
-    if os.path.exists(_LIB_PATH) and not force:
+    """Compile the shared library if missing or stale; returns its path."""
+    if os.path.exists(_LIB_PATH) and not force and not _lib_is_stale():
         return _LIB_PATH
     build_dir = os.path.join(_NATIVE_DIR, "build")
     os.makedirs(build_dir, exist_ok=True)
@@ -73,8 +90,13 @@ def _load_lib():
     if _lib is None:
         lib = ctypes.CDLL(build_native())
         if not hasattr(lib, "mscnn_loader_next_u8"):
-            # stale build from before the uint8 path: rebuild in place
-            lib = ctypes.CDLL(build_native(force=True))
+            # Stale binary despite the mtime check (e.g. sources untouched
+            # but built from an old tree). Rebuilding + re-dlopening the
+            # same path would return the cached stale handle, so fail
+            # loudly; build_native(force=True) in a fresh process recovers.
+            raise RuntimeError(
+                "native loader .so is stale (missing mscnn_loader_next_u8); "
+                "delete native/build and retry in a fresh process")
         lib.mscnn_loader_create.restype = ctypes.c_void_p
         lib.mscnn_loader_create.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(_CLoaderConfig)]
@@ -203,9 +225,18 @@ def make_loader(window_file: str, aug: AugmentSpec, spec: DatasetSpec,
     Python dataset wrapped in the threaded Prefetcher. Returns an object
     with .get() -> batch dict and .close()."""
     if prefer_native and native_available():
-        loader = NativeLoader(window_file, aug, spec, root_folder,
-                              num_workers=num_workers,
-                              queue_depth=queue_depth)
+        try:
+            loader = NativeLoader(window_file, aug, spec, root_folder,
+                                  num_workers=num_workers,
+                                  queue_depth=queue_depth)
+        except Exception as e:
+            import warnings
+            warnings.warn(f"native loader unavailable ({e!r}); "
+                          "falling back to the Python pipeline")
+            loader = None
+    else:
+        loader = None
+    if loader is not None:
         if device_put is None:
             return loader
 
@@ -219,6 +250,12 @@ def make_loader(window_file: str, aug: AugmentSpec, spec: DatasetSpec,
         class _CloseBoth(P.Prefetcher):
             def close(self):
                 super().close()
+                if self.thread.is_alive():
+                    # The worker is still blocked inside mscnn_loader_next
+                    # (slow decode/IO); destroying the native handle now
+                    # would free the Loader out from under the running
+                    # call. Leak it instead — process teardown reclaims.
+                    return
                 loader.close()
 
         return _CloseBoth(loader, depth=2, device_put=device_put)

@@ -107,6 +107,18 @@ def rasterize_batch(batch, cfg: M.MSCNNConfig, tspec: TrainSpec):
                          batch["copy_region"])
 
 
+def sync_input_norm(tspec: TrainSpec, aug) -> TrainSpec:
+    """Mirror the AugmentSpec's mean/scale into TrainSpec.input_mean/scale.
+
+    normalize_uint8_batch reads mean/scale from TrainSpec while the loader
+    reads them from AugmentSpec; any emit_uint8 caller that forgets to keep
+    them in sync silently trains on wrongly normalized images. Every call
+    site that builds both specs should route through this helper."""
+    import dataclasses as _dc
+    return _dc.replace(tspec, input_mean=tuple(aug.mean_values),
+                       input_scale=float(aug.scale))
+
+
 def normalize_uint8_batch(batch, tspec: TrainSpec):
     """Device-side image normalization for uint8 loader batches.
 

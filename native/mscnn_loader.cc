@@ -641,6 +641,10 @@ int mscnn_loader_next(void* handle, float* image, float* gt_boxes,
     g_last_error = l->error();
     return -1;
   }
+  if (!b->image_u8.empty()) {
+    g_last_error = "loader was created with emit_uint8; use mscnn_loader_next_u8";
+    return -1;
+  }
   std::memcpy(image, b->image.data(), b->image.size() * sizeof(float));
   std::memcpy(gt_boxes, b->gt_boxes.data(),
               b->gt_boxes.size() * sizeof(float));
