@@ -72,8 +72,18 @@ def _logf(msg: str, log: Optional[Callable[[str], None]]):
 def _snapshot(spec: LoopSpec, train_state, it) -> str:
     """Dispatch on snapshot_format: our orbax train-state dir, or the
     reference's .caffemodel/.solverstate pair (Solver::Snapshot,
-    solver.cpp:403-419)."""
+    solver.cpp:403-419).
+
+    Multi-process discipline (the WorkerSolver analog: non-root solvers
+    no-op Snapshot, solver.hpp:140-157): the plain-file formats write from
+    process 0 only — N processes racing on a shared filesystem would write
+    N copies of the same state. The orbax format is called from EVERY
+    process: orbax's save is itself a cross-process barrier and writes
+    each replicated array exactly once, so gating it on process 0 would
+    deadlock the barrier instead."""
     if spec.snapshot_format in ("binaryproto", "hdf5"):
+        if jax.process_index() != 0:
+            return ""
         # current_step = multistep lr stage index (sgd_solver.cpp's
         # this->current_step_), so the reference resumes the lr schedule
         cur = sum(1 for sv in spec.stepvalue if it >= int(sv))
@@ -168,7 +178,8 @@ def solve(step_fn, train_state, batch_source, spec: LoopSpec, *,
 
     if spec.snapshot_prefix and spec.snapshot_after_train:
         path = _snapshot(spec, train_state, it)
-        _logf(f"Snapshotting to {path}", log)
+        if path:
+            _logf(f"Snapshotting to {path}", log)
     return train_state
 
 

@@ -17,6 +17,8 @@ import sys
 
 def main():
     pid, nprocs, port, local_devices, out = sys.argv[1:6]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "step"
+    snapdir = sys.argv[7] if len(sys.argv) > 7 else ""
     pid, nprocs, local_devices = int(pid), int(nprocs), int(local_devices)
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}")
@@ -53,15 +55,35 @@ def main():
     sspec = S.SolverSpec(base_lr=1e-3, lr_policy="fixed", momentum=0.9)
     step = T.make_train_step(cfg, tspec, sspec, mesh=mesh, donate=False)
 
-    global_batch = make_batch(cfg, batch=4, seed=0)
     per = 4 // nprocs
-    local = jax.tree.map(
-        lambda x: np.asarray(x)[pid * per:(pid + 1) * per], global_batch)
+
+    def local_batch(seed):
+        gb = make_batch(cfg, batch=4, seed=seed)
+        local = jax.tree.map(
+            lambda x: np.asarray(x)[pid * per:(pid + 1) * per], gb)
+        return T.shard_batch(local, mesh)
 
     state = {"params": params, "solver": S.init_state(params, sspec)}
     state = T.replicate_state(state, mesh)
-    batch = T.shard_batch(local, mesh)
-    state, metrics = step(state, batch, jax.random.key(0))
+
+    if mode == "loop":
+        # A few solve() iterations WITH snapshotting: pins the
+        # root-guarded / orbax-coordinated snapshot discipline
+        # (solver.hpp:140-157 WorkerSolver no-op) under a real
+        # 2-process runtime. Both processes run the same loop; the
+        # parent asserts exactly one snapshot tree per interval exists.
+        from mscnn_tpu.train import loop as LP
+        seeds = iter(range(100))
+        spec = LP.LoopSpec(max_iter=3, display=0, snapshot=2,
+                           snapshot_prefix=os.path.join(snapdir, "snap"),
+                           snapshot_format="orbax",
+                           sigint_effect="none", sighup_effect="none")
+        state = LP.solve(lambda st, b, k: step(st, b, k), state,
+                         lambda: local_batch(next(seeds)), spec,
+                         key=jax.random.key(0), log=lambda m: None)
+        metrics = {"loss": 0.0}
+    else:
+        state, metrics = step(state, local_batch(0), jax.random.key(0))
 
     dump = {"loss": np.float64(metrics["loss"]),
             "it": np.int64(state["solver"]["it"])}
