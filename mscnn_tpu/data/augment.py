@@ -53,12 +53,22 @@ def _affine_boxes(boxes, fx, fy, dx, dy):
         boxes[:, 3] = boxes[:, 3] * fy + dy
 
 
+def _cround(x) -> int:
+    """C round()/lround() = half away from zero, for non-negative x.
+
+    The reference rounds all paste/crop geometry with C round
+    (image_gt_data_layer.cpp:501-563), as does native/mscnn_loader.cc
+    (std::lround); Python's banker's round() would shift odd-gap paste
+    offsets by one pixel relative to both."""
+    return math.floor(x + 0.5)
+
+
 def _octave_rescale_factors(rng, sel_box, spec: AugmentSpec):
     """Multi-scale zoom in octave steps so the selected gt lands near a
     random anchor-field scale (image_gt_data_layer.cpp:442-497)."""
     octave = 2.0
     scale_order = math.log2(float(spec.max_scale) / float(spec.min_scale))
-    num_scale = round(octave * scale_order + 1)
+    num_scale = _cround(octave * scale_order + 1)
     resize_scales = [ss / octave for ss in range(num_scale)]
     bb_w = sel_box[2] - sel_box[0]
     bb_h = sel_box[3] - sel_box[1]
@@ -77,7 +87,7 @@ def _octave_rescale_factors(rng, sel_box, spec: AugmentSpec):
     if (spec.min_whaspect is not None and spec.max_whaspect is not None
             and rng.randint(2)):
         interval = 0.05
-        intervals = round((spec.max_whaspect - spec.min_whaspect) / interval)
+        intervals = _cround((spec.max_whaspect - spec.min_whaspect) / interval)
         random_aspect = rng.randint(intervals) * interval + spec.min_whaspect
         mult = random_aspect / (bb_w / bb_h)
         if rng.randint(2):
@@ -140,14 +150,14 @@ def augment(rng: np.random.RandomState, img: np.ndarray, gts: np.ndarray,
             and gts.shape[0] and rng.randint(2)):
         fx, fy = _octave_rescale_factors(rng, boxes[sel], spec)
 
-    rescale_h, rescale_w = round(h * fy), round(w * fx)
+    rescale_h, rescale_w = _cround(h * fy), _cround(w * fx)
     if fx != 1.0 or fy != 1.0:
         if fx > 1.5 or fy > 1.5:
             # crop before a large upsample (cpp:504-524)
-            crop_w = min(round(1.2 * w / fx), w)
-            crop_h = min(round(1.2 * h / fy), h)
-            x1 = max(round(cx - crop_w * 0.5), 0)
-            y1 = max(round(cy - crop_h * 0.5), 0)
+            crop_w = min(_cround(1.2 * w / fx), w)
+            crop_h = min(_cround(1.2 * h / fy), h)
+            x1 = max(_cround(cx - crop_w * 0.5), 0)
+            y1 = max(_cround(cy - crop_h * 0.5), 0)
             x1 -= max(x1 + crop_w - w, 0)
             y1 -= max(y1 + crop_h - h, 0)
             img = img[y1: y1 + crop_h, x1: x1 + crop_w]
@@ -155,8 +165,8 @@ def augment(rng: np.random.RandomState, img: np.ndarray, gts: np.ndarray,
             cy -= y1
             _affine_boxes(boxes, 1, 1, -x1, -y1)
             _affine_boxes(ronis, 1, 1, -x1, -y1)
-            rescale_w = round(img.shape[1] * fx)
-            rescale_h = round(img.shape[0] * fy)
+            rescale_w = _cround(img.shape[1] * fx)
+            rescale_h = _cround(img.shape[0] * fy)
         img = cv2.resize(img, (rescale_w, rescale_h),
                          interpolation=cv2.INTER_LINEAR)
     _affine_boxes(boxes, fx, fy, 0, 0)
@@ -169,13 +179,13 @@ def augment(rng: np.random.RandomState, img: np.ndarray, gts: np.ndarray,
     def offsets(rescale, template, center, noise):
         if rescale < template:
             copy = rescale
-            src = round((template - rescale) / 2.0) + noise
+            src = _cround((template - rescale) / 2.0) + noise
             src = min(max(src, 0), template - rescale)
             dst = 0
         elif rescale > template:
             copy = template
             src = 0
-            dst = round(center) + noise - round(template / 2.0)
+            dst = _cround(center) + noise - _cround(template / 2.0)
             dst = min(max(dst, 0), rescale - template)
         else:
             copy, src, dst = template, 0, 0

@@ -88,13 +88,18 @@ def rasterize_labels(gts, gt_valid, ronis, roni_valid, spec: RasterSpec,
         cells = _cell_boxes(h, w, ds, spec.field_ws[si], spec.field_hs[si])
         s = h * w
 
-        # copy-region mask (cells outside the pasted image area are ignored)
+        # copy-region mask (cells outside the pasted image area are ignored).
+        # The reference quantizes with C round() = half away from zero
+        # (image_gt_data_layer.cpp:645-648) — floor(x+0.5) for these
+        # non-negative quotients; jnp.round would banker's-round 0.5 down
+        # and shift the ignored border by one cell (caught by
+        # tests/test_golden_ref_data.py's zoom scenario).
         if copy_region is not None:
             x0, y0, cw, ch = copy_region
-            lo_x = jnp.round(x0 / ds).astype(jnp.int32)
-            lo_y = jnp.round(y0 / ds).astype(jnp.int32)
-            n_x = jnp.round(cw / ds).astype(jnp.int32)
-            n_y = jnp.round(ch / ds).astype(jnp.int32)
+            lo_x = jnp.floor(x0 / ds + 0.5).astype(jnp.int32)
+            lo_y = jnp.floor(y0 / ds + 0.5).astype(jnp.int32)
+            n_x = jnp.floor(cw / ds + 0.5).astype(jnp.int32)
+            n_y = jnp.floor(ch / ds + 0.5).astype(jnp.int32)
             wi = jnp.arange(s, dtype=jnp.int32) % w
             hi = jnp.arange(s, dtype=jnp.int32) // w
             outside = (wi < lo_x) | (wi >= lo_x + n_x) | \

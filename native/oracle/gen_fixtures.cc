@@ -31,6 +31,7 @@
 #include "caffe/layers/decode_bbox_layer.hpp"
 #include "caffe/layers/detection_accuracy_layer.hpp"
 #include "caffe/layers/detection_loss_layer.hpp"
+#include "caffe/layers/proposal_target_layer.hpp"
 #include "caffe/layers/roi_align_layer.hpp"
 #include "caffe/layers/roi_pooling_layer.hpp"
 #include "caffe/layers/softmax_layer.hpp"
@@ -618,6 +619,101 @@ void scenario_detection_accuracy() {
   run_detection_accuracy("detection_accuracy_top2", 2, 6002);
 }
 
+// ProposalTarget with batch_size == -1 (keep-all, the cascade later-stage
+// mode, proposal_target_layer.cpp:166-180): keeps every fg (ov >= fg_thr,
+// non-ignored match) and every in-range bg candidate in input order — the
+// sampling RNG is never consumed, so the output is fully deterministic.
+void run_proposal_target_keepall(const string& name, bool cls_aware,
+                                 uint32_t seed) {
+  Rng rng(seed);
+  const int n_rois = 64, n_gts = 12, num_img = 4;
+  const int img_w = 256, img_h = 192, cls_num = 5;
+
+  Blob<float> gts(n_gts, 7, 1, 1);
+  float* gp = gts.mutable_cpu_data();
+  for (int i = 0; i < n_gts; ++i) {
+    gp[i * 7] = static_cast<float>(i % num_img);
+    float x1 = rng.uniform(0.f, img_w * 0.6f);
+    float y1 = rng.uniform(0.f, img_h * 0.6f);
+    gp[i * 7 + 1] = x1;
+    gp[i * 7 + 2] = y1;
+    gp[i * 7 + 3] = x1 + rng.uniform(16.f, img_w * 0.35f);
+    gp[i * 7 + 4] = y1 + rng.uniform(16.f, img_h * 0.35f);
+    gp[i * 7 + 5] = static_cast<float>(rng.integer(1, cls_num - 1));
+    gp[i * 7 + 6] = (i % 5 == 4) ? 1.f : 0.f;  // some ignored gts
+  }
+
+  Blob<float> rois(n_rois, 5, 1, 1);
+  float* rp = rois.mutable_cpu_data();
+  for (int i = 0; i < n_rois; ++i) {
+    rp[i * 5] = static_cast<float>(i % num_img);
+    if (i % 3 == 0) {
+      // jittered copy of a gt on the same image -> mostly fg
+      const float* g = gp + (i % n_gts) * 7;
+      rp[i * 5] = g[0];
+      rp[i * 5 + 1] = g[1] + rng.uniform(-8.f, 8.f);
+      rp[i * 5 + 2] = g[2] + rng.uniform(-8.f, 8.f);
+      rp[i * 5 + 3] = g[3] + rng.uniform(-8.f, 8.f);
+      rp[i * 5 + 4] = g[4] + rng.uniform(-8.f, 8.f);
+    } else {
+      float x1 = rng.uniform(0.f, img_w * 0.7f);
+      float y1 = rng.uniform(0.f, img_h * 0.7f);
+      rp[i * 5 + 1] = x1;
+      rp[i * 5 + 2] = y1;
+      rp[i * 5 + 3] = x1 + rng.uniform(10.f, img_w * 0.3f);
+      rp[i * 5 + 4] = y1 + rng.uniform(10.f, img_h * 0.3f);
+    }
+  }
+  save_blob(name + ".rois.npy", rois);
+  save_blob(name + ".gts.npy", gts);
+
+  LayerParameter lp;
+  auto* pp = lp.mutable_proposal_target_param();
+  pp->set_cls_num(cls_num);
+  pp->set_batch_size(-1);
+  pp->set_fg_fraction(0.25f);
+  pp->set_num_img_per_batch(num_img);
+  pp->set_fg_thr(0.6f);
+  pp->set_bg_thr_hg(0.5f);
+  pp->set_bg_thr_lw(0.1f);
+  pp->set_img_width(img_w);
+  pp->set_img_height(img_h);
+  auto* rg = lp.mutable_bbox_reg_param();
+  rg->set_cls_aware(cls_aware);
+  for (int k = 0; k < 4; ++k) rg->add_bbox_mean(0.f);
+  rg->add_bbox_std(0.1f);
+  rg->add_bbox_std(0.1f);
+  rg->add_bbox_std(0.2f);
+  rg->add_bbox_std(0.2f);
+
+  caffe::ProposalTargetLayer<float> layer(lp);
+  Blob<float> out_rois, out_labels, out_targets, out_inw, out_outw, out_mgt;
+  vector<Blob<float>*> bottom{&rois, &gts};
+  vector<Blob<float>*> top{&out_rois, &out_labels, &out_targets, &out_inw,
+                           &out_outw, &out_mgt};
+  layer.SetUp(bottom, top);
+  layer.Forward(bottom, top);
+  save_blob(name + ".out_rois.npy", out_rois);
+  save_blob(name + ".out_labels.npy", out_labels);
+  save_blob(name + ".out_targets.npy", out_targets);
+  save_blob(name + ".out_inside_w.npy", out_inw);
+  save_blob(name + ".out_outside_w.npy", out_outw);
+  save_blob(name + ".out_match_gt.npy", out_mgt);
+
+  std::ostringstream pj;
+  pj << "{\"n_rois\": 64, \"n_gts\": 12, \"num_img\": 4, \"cls_num\": 5"
+     << ", \"batch_size\": -1, \"fg_thr\": 0.6, \"bg_thr_hg\": 0.5"
+     << ", \"bg_thr_lw\": 0.1, \"img_width\": 256, \"img_height\": 192"
+     << ", \"cls_aware\": " << (cls_aware ? "true" : "false")
+     << ", \"means\": [0,0,0,0], \"stds\": [0.1,0.1,0.2,0.2]}";
+  manifest_entry(name, pj.str());
+}
+
+void scenario_proposal_target() {
+  run_proposal_target_keepall("proposal_target_keepall_clsaware", true, 8001);
+  run_proposal_target_keepall("proposal_target_keepall_agnostic", false, 8002);
+}
+
 void scenario_softmax() {
   Rng rng(7001);
   Blob<float> in(2, 5, 6, 7);
@@ -652,6 +748,7 @@ int main(int argc, char** argv) {
   scenario_decode_bbox();
   scenario_detection_loss();
   scenario_detection_accuracy();
+  scenario_proposal_target();
   scenario_softmax();
 
   std::ofstream mf(g_outdir + "/manifest.json");

@@ -8,6 +8,11 @@
 
 namespace boost {
 
+// Thrown by boost's interruption points; the oracle never starts the
+// prefetch thread, so this only has to exist for the catch clause in
+// base_data_layer.cpp:100 to compile.
+class thread_interrupted {};
+
 class mutex {
  public:
   void lock() { m_.lock(); }

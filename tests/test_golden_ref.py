@@ -256,3 +256,64 @@ def test_softmax():
     want = nchw_to_nhwc(L("softmax.out"))
     got = np.asarray(jax.nn.softmax(jnp.asarray(x), axis=-1))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------- ProposalTarget (keep-all)
+
+@pytest.mark.parametrize("scenario,cls_aware", [
+    ("proposal_target_keepall_clsaware", True),
+    ("proposal_target_keepall_agnostic", False),
+])
+def test_proposal_target_keep_all(scenario, cls_aware):
+    """batch_size == -1 (proposal_target_layer.cpp:166-180, the cascade
+    later-stage mode) is content-deterministic: every fg and in-range bg
+    candidate survives, in input order, with no RNG consumed. Compare our
+    fixed-capacity masked keep-all against the reference's variable-length
+    output order-insensitively (our candidate order interleaves where the
+    reference groups fg-then-bg)."""
+    from mscnn_tpu.ops import proposal_target as PT
+
+    p = MANIFEST[scenario]
+    rois = L(f"{scenario}.rois").reshape(-1, 5)
+    gts = L(f"{scenario}.gts").reshape(-1, 7)
+    spec = PT.ProposalTargetSpec(
+        cls_num=p["cls_num"], batch_size=-1, fg_thr=p["fg_thr"],
+        bg_thr_hg=p["bg_thr_hg"], bg_thr_lw=p["bg_thr_lw"],
+        num_img_per_batch=p["num_img"], img_width=p["img_width"],
+        img_height=p["img_height"], cls_aware=cls_aware,
+        bbox_mean=MEANS, bbox_std=STDS, keep_all=True)
+    out = PT.proposal_target_keep_all(
+        jnp.asarray(rois[:, 0].astype(np.int32)), jnp.asarray(rois[:, 1:5]),
+        jnp.ones(rois.shape[0], bool), jnp.asarray(gts),
+        jnp.ones(gts.shape[0], bool), spec)
+    keep = np.asarray(out["valid"])
+
+    def rows(kind):
+        if kind == "ours":
+            r = np.concatenate([
+                np.asarray(out["batch_idx"], np.float32)[keep, None],
+                np.asarray(out["rois"])[keep],
+                np.asarray(out["labels"], np.float32)[keep, None],
+                np.asarray(out["bbox_targets"])[keep],
+                np.asarray(out["inside_w"])[keep],
+                np.asarray(out["outside_w"])[keep],
+                np.asarray(out["match_gt"])[keep],
+            ], -1)
+        else:
+            r = np.concatenate([
+                L(f"{scenario}.out_rois").reshape(-1, 5),
+                L(f"{scenario}.out_labels").reshape(-1, 1),
+                L(f"{scenario}.out_targets").reshape(
+                    -1, 4 * p["cls_num"] if cls_aware else 8),
+                L(f"{scenario}.out_inside_w").reshape(
+                    -1, 4 * p["cls_num"] if cls_aware else 8),
+                L(f"{scenario}.out_outside_w").reshape(
+                    -1, 4 * p["cls_num"] if cls_aware else 8),
+                L(f"{scenario}.out_match_gt").reshape(-1, 6),
+            ], -1)
+        # order-insensitive: sort rows lexicographically
+        return r[np.lexsort(r.T[::-1])]
+
+    ours, ref = rows("ours"), rows("ref")
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
