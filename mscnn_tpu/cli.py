@@ -1086,7 +1086,8 @@ def cmd_convert_imageset(args):
 
     n = TL.convert_imageset(
         args.output, window_file=args.window_file, listfile=args.listfile,
-        from_lmdb=args.from_lmdb, root_folder=args.root_folder,
+        from_lmdb=args.from_lmdb, from_leveldb=args.from_leveldb,
+        root_folder=args.root_folder,
         shuffle=args.shuffle, seed=args.seed,
         encode=args.encode, quality=args.quality, backend=args.backend)
     print(f"Packed {n} records into {args.output}")
@@ -1295,9 +1296,12 @@ def main(argv=None):
     p_conv.add_argument("--listfile", help="`path label` lines")
     p_conv.add_argument("--from-lmdb",
                         help="migrate an existing Caffe LMDB env")
+    p_conv.add_argument("--from-leveldb",
+                        help="migrate an existing Caffe LevelDB dir")
     p_conv.add_argument("--backend", default="records",
-                        choices=["records", "lmdb"],
-                        help="output format (lmdb = Caffe Datum env)")
+                        choices=["records", "lmdb", "leveldb"],
+                        help="output format (lmdb/leveldb = Caffe "
+                             "Datum databases)")
     p_conv.add_argument("--root-folder", default="")
     p_conv.add_argument("--shuffle", action="store_true")
     p_conv.add_argument("--seed", type=int, default=0)

@@ -137,10 +137,11 @@ class LMDBDataset:
     reader is mmap-backed, so this holds offsets, not pixels)."""
 
     def __init__(self, source: str, batch_size: int,
-                 tspec: Optional[TransformSpec] = None, seed: int = 0):
+                 tspec: Optional[TransformSpec] = None, seed: int = 0,
+                 reader=None):
         from mscnn_tpu.io import lmdb as L
         self._decode = L.decode_datum
-        self._db = L.LMDBReader(source)
+        self._db = reader if reader is not None else L.LMDBReader(source)
         self._items = list(self._db.items())
         if not self._items:
             raise ValueError(f"empty LMDB dataset {source!r}")
@@ -169,6 +170,18 @@ class LMDBDataset:
 
     def close(self):
         self._db.close()
+
+
+class LevelDBDataset(LMDBDataset):
+    """DataLayer over an existing Caffe LevelDB (util/db_leveldb.cpp):
+    same cyclic (key, Datum) cursor and transform chain as LMDBDataset,
+    read by the pure-Python SSTable/log reader (io/leveldb.py)."""
+
+    def __init__(self, source: str, batch_size: int,
+                 tspec: Optional[TransformSpec] = None, seed: int = 0):
+        from mscnn_tpu.io import leveldb as LDB
+        super().__init__(source, batch_size, tspec, seed,
+                         reader=LDB.LevelDBReader(source))
 
 
 class HDF5Dataset:

@@ -51,29 +51,36 @@ def _images_from_listfile(listfile: str,
 
 def convert_imageset(output: str, *, window_file: Optional[str] = None,
                      listfile: Optional[str] = None,
-                     from_lmdb: Optional[str] = None, root_folder: str = "",
+                     from_lmdb: Optional[str] = None,
+                     from_leveldb: Optional[str] = None,
+                     root_folder: str = "",
                      shuffle: bool = False, seed: int = 0,
                      encode: Optional[str] = None, quality: int = 95,
                      backend: str = "records") -> int:
     """Pack a dataset. Returns the record count.
 
     Inputs: exactly one of `window_file`, `listfile` (the reference tool's
-    LISTFILE), or `from_lmdb` (migrate an existing Caffe LMDB env).
-    Outputs: `backend="records"` (data/records.py shard, the native
-    sequential format) or `backend="lmdb"` (a Caffe-compatible LMDB of
-    Datum records, what tools/convert_imageset.cpp:105-124 writes).
+    LISTFILE), `from_lmdb`, or `from_leveldb` (migrate an existing Caffe
+    database). Outputs: `backend="records"` (data/records.py shard, the
+    native sequential format), `backend="lmdb"`, or `backend="leveldb"`
+    (Caffe-compatible Datum databases, what
+    tools/convert_imageset.cpp:105-124 writes for either --backend).
     """
     from mscnn_tpu.data import records as R
 
-    if sum(x is not None for x in (window_file, listfile, from_lmdb)) != 1:
-        raise ValueError(
-            "pass exactly one of window_file / listfile / from_lmdb")
+    srcs = (window_file, listfile, from_lmdb, from_leveldb)
+    if sum(x is not None for x in srcs) != 1:
+        raise ValueError("pass exactly one of window_file / listfile / "
+                         "from_lmdb / from_leveldb")
 
-    if from_lmdb is not None:
-        if backend == "lmdb":
-            raise ValueError("from_lmdb with backend='lmdb' is a copy; "
+    if from_lmdb is not None or from_leveldb is not None:
+        if backend != "records":
+            raise ValueError("database migration outputs records; "
                              "point your config at the original instead")
-        return _records_from_lmdb(output, from_lmdb)
+        if from_lmdb is not None:
+            from mscnn_tpu.io import lmdb as L
+            return _records_from_db(output, L.iter_datums(from_lmdb))
+        return _records_from_db(output, _iter_leveldb_datums(from_leveldb))
 
     if window_file is not None:
         images = W.parse_window_file(window_file, root_folder)
@@ -83,26 +90,41 @@ def convert_imageset(output: str, *, window_file: Optional[str] = None,
     if shuffle:
         rng = np.random.RandomState(seed)
         images = [images[i] for i in rng.permutation(len(images))]
-    if backend == "lmdb":
-        return _lmdb_from_images(output, images, encode=encode,
-                                 quality=quality)
+    if backend in ("lmdb", "leveldb"):
+        return _db_from_images(output, images, encode=encode,
+                               quality=quality, backend=backend)
     if backend != "records":
         raise ValueError(f"unknown backend {backend!r} "
-                         "(records or lmdb)")
+                         "(records, lmdb or leveldb)")
     return R.write_records(output, images, "", encode=encode,
                            quality=quality)
 
 
-def _lmdb_from_images(output: str, images: Sequence[W.WindowImage], *,
-                      encode: Optional[str], quality: int) -> int:
-    """Write a Caffe LMDB of Datum records (convert_imageset.cpp:95-124:
+def _iter_leveldb_datums(path: str):
+    from mscnn_tpu.io import leveldb as LDB
+    from mscnn_tpu.io import lmdb as L
+    with LDB.LevelDBReader(path) as db:
+        for key, raw in db.items():
+            yield key, L.decode_datum(raw)
+
+
+def _db_from_images(output: str, images: Sequence[W.WindowImage], *,
+                    encode: Optional[str], quality: int,
+                    backend: str = "lmdb") -> int:
+    """Write a Caffe database of Datum records (convert_imageset.cpp:95-124:
     key = 8-digit index + "_" + path, value = serialized Datum; raw BGR
-    bytes by default, encoded bytes with --encode_type)."""
+    bytes by default, encoded bytes with --encode_type). backend picks the
+    on-disk format: LMDB env or LevelDB directory."""
     import cv2
 
     from mscnn_tpu.io import lmdb as L
 
-    with L.LMDBWriter(output) as db:
+    if backend == "leveldb":
+        from mscnn_tpu.io import leveldb as LDB
+        writer = LDB.LevelDBWriter(output)
+    else:
+        writer = L.LMDBWriter(output)
+    with writer as db:
         for i, im in enumerate(images):
             label = int(im.gts[0, 0]) if len(im.gts) else 0
             if encode is None:
@@ -131,10 +153,11 @@ def _lmdb_from_images(output: str, images: Sequence[W.WindowImage], *,
     return len(images)
 
 
-def _records_from_lmdb(output: str, lmdb_path: str) -> int:
-    """Migrate an existing Caffe LMDB to a record shard: encoded Datums
-    keep their bytes verbatim; raw Datums are PNG-encoded losslessly.
-    The label rides as one full-image gt row (like listfile packing)."""
+def _records_from_db(output: str, datums) -> int:
+    """Migrate an existing Caffe database (an iterator of (key, Datum))
+    to a record shard: encoded Datums keep their bytes verbatim; raw
+    Datums are PNG-encoded losslessly. The label rides as one full-image
+    gt row (like listfile packing)."""
     import struct
 
     import cv2
@@ -146,7 +169,7 @@ def _records_from_lmdb(output: str, lmdb_path: str) -> int:
     with open(output, "wb") as f:
         f.write(R.MAGIC + struct.pack("<I", R.VERSION))
         n = 0
-        for key, d in L.iter_datums(lmdb_path):
+        for key, d in datums:
             if d.encoded:
                 img_bytes = d.data
                 probe = cv2.imdecode(np.frombuffer(d.data, np.uint8),

@@ -197,18 +197,21 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
 
     if ltype == "Data":
         # data_layer.cpp + data_reader.cpp: sequential Datum records.
-        # LMDB envs are read natively (io/lmdb.py pure-Python reader);
-        # LevelDB (SSTable+log) is not — convert once with the reference's
-        # own tools or `mscnn convert_imageset`.
+        # Both backends are read natively — LMDB by io/lmdb.py, LevelDB
+        # (SSTable + tail log, snappy blocks) by io/leveldb.py. The
+        # declared backend is trusted but cross-checked against the files
+        # (recycled prototxts commonly say LEVELDB over an LMDB env).
         from mscnn_tpu.data import sources as SRC
+        from mscnn_tpu.io import leveldb as LDB
         dp = layer.get("data_param", {})
         backend = str(dp.get("backend", "LEVELDB")).upper()
         src_path = str(dp["source"])
-        if backend != "LMDB" and not _looks_like_lmdb(src_path):
-            raise ValueError(
-                f"Data layer backend {backend} ({src_path!r}): only LMDB "
-                "envs are readable here; convert LevelDB datasets with "
-                "`mscnn convert_imageset` (see data/records.py)")
+        if _looks_like_lmdb(src_path):
+            backend = "LMDB"
+        elif LDB.is_leveldb_dir(src_path):
+            backend = "LEVELDB"
+        elif backend not in ("LMDB", "LEVELDB"):
+            raise ValueError(f"unknown Data backend {backend!r}")
         tp = layer.get("transform_param", {})
         mv = [float(v) for v in PB.as_list(tp.get("mean_value"))]
         tspec = SRC.TransformSpec(
@@ -216,9 +219,9 @@ def make_batch_source(net: NB.Net, layer: dict, *, seed: int = 0,
             mean_values=tuple(mv) if mv else None,
             crop_size=int(tp.get("crop_size", 0)),
             mirror=bool(tp.get("mirror", False)))
-        ds = SRC.LMDBDataset(src_path,
-                             batch_size or int(dp.get("batch_size", 1)),
-                             tspec=tspec, seed=seed)
+        cls = SRC.LMDBDataset if backend == "LMDB" else SRC.LevelDBDataset
+        ds = cls(src_path, batch_size or int(dp.get("batch_size", 1)),
+                 tspec=tspec, seed=seed)
 
         def source():
             b = ds.next_batch(train=train)

@@ -453,3 +453,76 @@ def test_loop_spec_reads_snapshot_after_train():
         is False
     assert LP.loop_spec_from_solver_fields(
         {"max_iter": 3}).snapshot_after_train is True
+
+
+def test_cli_train2_two_step_schedule(tiny_dataset, tmp_path):
+    """The reference's canonical workflow (train_mscnn.sh + CopyLayers,
+    tools/caffe.cpp:151-161): stage 1 trains the proposal sub-net, stage 2
+    warm-starts from stage 1's final snapshot. Asserts the warm-started
+    stage-2 params actually came from stage 1 (shared trunk/head layers
+    bit-equal to the stage-1 snapshot, and NOT equal to a fresh
+    random init with the same seed)."""
+    from mscnn_tpu import cli
+    from mscnn_tpu.io import checkpoint as CKPT
+
+    root, net2, wf = tiny_dataset
+    # stage-1 prototxt = stage-2 minus the BoxOutput/ProposalTarget tail
+    # (the reference's trainval_1st has only ImageGtData + trunk +
+    # DetectionLoss heads)
+    full = TINY_TRAINVAL.format(source=wf)
+    cut = full.index('layer {\n  name: "proposals"') if \
+        'layer {\n  name: "proposals"' in full else \
+        full.index('layer { name: "proposals"')
+    net1 = str(tmp_path / "trainval_1st.prototxt")
+    with open(net1, "w") as f:
+        f.write(full[:cut])
+
+    prefix1 = str(tmp_path / "s1")
+    prefix2 = str(tmp_path / "s2")
+    solver1 = str(tmp_path / "solver_1st.prototxt")
+    solver2 = str(tmp_path / "solver_2nd.prototxt")
+    with open(solver1, "w") as f:
+        f.write(TINY_SOLVER.format(net=net1.replace("\\", "/"),
+                                   prefix=prefix1))
+    with open(solver2, "w") as f:
+        # max_iter 0: stage 2 snapshots its warm-started params untouched,
+        # so warm-start provenance is a bit-exact assertion
+        f.write(TINY_SOLVER.format(net=net2.replace("\\", "/"),
+                                   prefix=prefix2).replace(
+                                       "max_iter: 2", "max_iter: 0"))
+
+    rc = cli.main(["train2", "--solver1", solver1, "--solver2", solver2])
+    assert rc == 0
+
+    s1 = CKPT.latest_snapshot(prefix1)
+    s2 = CKPT.latest_snapshot(prefix2)
+    assert s1 is not None and s1.endswith("_iter_2")
+    assert s2 is not None and s2.endswith("_iter_0")
+
+    import orbax.checkpoint as ocp
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        p1 = ckptr.restore(s1)["params"]
+        p2 = ckptr.restore(s2)["params"]
+
+    # fresh random init of the stage-2 model with the solver's seed
+    from mscnn_tpu.config import zoo_import as Z
+    from mscnn_tpu.models import mscnn as M
+    cfg2, *_ = Z.model_from_prototxt(net2)
+    fresh = jax.device_get(M.init_params(jax.random.key(7), cfg2))
+
+    shared = sorted(set(p1) & set(p2))
+    assert shared, "stage-1 and stage-2 share no layers"
+    copied_differs_from_fresh = False
+    for name in shared:
+        a, b = jax.tree.leaves(p1[name]), jax.tree.leaves(p2[name])
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(la, lb, err_msg=name)
+        if name in fresh:
+            fl = jax.tree.leaves(fresh[name])
+            if any(not np.array_equal(x, y) for x, y in zip(a, fl)):
+                copied_differs_from_fresh = True
+    assert copied_differs_from_fresh, \
+        "warm-started params indistinguishable from random init"
+    # stage-2-only layers exist and kept their fresh init
+    only2 = sorted(set(p2) - set(p1))
+    assert only2, "stage 2 adds no layers over stage 1"
