@@ -115,6 +115,12 @@ class MSCNNConfig:
     # remains for oracle comparisons against the reference.
     roi_method: str = "fast"
     roi_align: bool = False    # Cascade variants use ROIAlign
+    # split fast-table pooling into <=roi_chunk-roi gathers (lax.map):
+    # one fused 512-roi gather falls off a memory cliff (2.8x the cost of
+    # 2x256 — BENCH.md round 5, profile_cascade_roi_chunk.py: cascade
+    # deploy 54.0 -> 41.6 ms). Bit-exact (gathers are elementwise-
+    # independent). 0 disables.
+    roi_chunk: int = 256
     fc_dim: int = 4096
     dropout: float = 0.5
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
@@ -425,6 +431,35 @@ def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
                   samples=max(cfg.roi_samples // 2, 2), table_k=2,
                   is_table=True)
         B = table.shape[0]
+        ck = int(cfg.roi_chunk)
+
+        def _pools_chunked(tb, bi, rb, vb):
+            """Both pools over one roi set, split into <=roi_chunk-roi
+            gathers when large (see MSCNNConfig.roi_chunk)."""
+            r = rb.shape[0]
+            if not (ck and r > ck and r % ck == 0):
+                o = roi_ops.roi_max_pool_fast(tb, bi, rb, vb,
+                                              pad_ratio=0.0, **kw)
+                c = roi_ops.roi_max_pool_fast(tb, bi, rb, vb,
+                                              pad_ratio=cfg.roi_pad_ratio,
+                                              **kw)
+                return o, c
+
+            def two(args):
+                bc, rc, vc = args
+                o = roi_ops.roi_max_pool_fast(tb, bc, rc, vc,
+                                              pad_ratio=0.0, **kw)
+                c = roi_ops.roi_max_pool_fast(tb, bc, rc, vc,
+                                              pad_ratio=cfg.roi_pad_ratio,
+                                              **kw)
+                return o, c
+
+            n = r // ck
+            o, c = jax.lax.map(two, (bi.reshape(n, ck),
+                                     rb.reshape(n, ck, 4),
+                                     vb.reshape(n, ck)))
+            return (o.reshape(r, *o.shape[2:]), c.reshape(r, *c.shape[2:]))
+
         if image_major and B > 1 and rois.shape[0] % B == 0:
             per = rois.shape[0] // B
             rois_b = rois.reshape(B, per, 4)
@@ -433,19 +468,13 @@ def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
 
             def one(args):
                 tb, rb, vb = args
-                o = roi_ops.roi_max_pool_fast(tb[None], zero, rb, vb,
-                                              pad_ratio=0.0, **kw)
-                c = roi_ops.roi_max_pool_fast(tb[None], zero, rb, vb,
-                                              pad_ratio=cfg.roi_pad_ratio,
-                                              **kw)
-                return o, c
+                return _pools_chunked(tb[None], zero, rb, vb)
 
             org, ctx = jax.lax.map(one, (table, rois_b, valid_b))
             org = org.reshape(-1, *org.shape[2:])
             ctx = ctx.reshape(-1, *ctx.shape[2:])
         else:
-            pool = lambda pr: roi_ops.roi_max_pool_fast(  # noqa: E731
-                table, batch_idx, rois, valid, pad_ratio=pr, **kw)
+            org, ctx = _pools_chunked(table, batch_idx, rois, valid)
     else:
         pool = lambda pr: roi_ops.roi_max_pool(  # noqa: E731
             feat, batch_idx, rois, valid, spatial_scale=scale,

@@ -121,3 +121,39 @@ def test_roi_head_image_major_bit_exact():
     for x, y, name in ((a[0], b[0], "cls"), (a[1], b[1], "bbox")):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=name)
+
+
+def test_roi_head_chunked_pools_bit_exact():
+    """MSCNNConfig.roi_chunk splits the fast-table pools into lax.map'd
+    chunks (the 512-roi gather memory cliff, BENCH.md round 5); the split
+    must be bit-exact vs the single fused gather, on both the image-major
+    and flat paths."""
+    import dataclasses
+
+    from mscnn_tpu.models import mscnn as M
+    from mscnn_tpu.models import zoo
+
+    base = zoo.tiny_test_config(deploy=True)
+    params = M.init_params(jax.random.key(0), base)
+    B, R = 2, 16
+    h8, w8 = base.input_hw[0] // 8, base.input_hw[1] // 8
+    ks = jax.random.split(jax.random.key(3), 3)
+    conv4_3 = jax.random.normal(ks[0], (B, h8, w8, 512), jnp.float32)
+    xy = jax.random.uniform(ks[1], (B * R, 2)) * 40.0
+    wh = 8.0 + jax.random.uniform(ks[2], (B * R, 2)) * 30.0
+    rois = jnp.concatenate([xy, xy + wh], 1)
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+    valid = jnp.ones((B * R,), bool).at[5].set(False)
+
+    for image_major in (False, True):
+        outs = {}
+        for chunk in (0, 4):
+            cfg = dataclasses.replace(base, roi_chunk=chunk)
+            outs[chunk] = M.roi_head(params, conv4_3, batch_idx, rois,
+                                     valid, cfg, train=False,
+                                     image_major=image_major)
+        for a, b, name in ((outs[0][0], outs[4][0], "cls"),
+                           (outs[0][1], outs[4][1], "bbox")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{name} image_major={image_major}")
