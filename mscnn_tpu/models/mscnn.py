@@ -419,9 +419,32 @@ def roi_head(params, conv4_3, batch_idx, rois, valid, cfg: MSCNNConfig,
 
     org = ctx = None
     if cfg.roi_align:
-        pool = lambda pr: roi_ops.roi_align(  # noqa: E731
-            feat, batch_idx, rois, valid, spatial_scale=scale,
-            pad_ratio=pr, pooled=cfg.roi_pooled)
+        ck = int(cfg.roi_chunk)
+        r = rois.shape[0]
+        if ck and r > ck and r % ck == 0:
+            # same gather-volume cliff as the fast-table path
+            # (MSCNNConfig.roi_chunk): bilinear-sample in <=ck-roi chunks
+            def _two(args):
+                bc, rc, vc = args
+                o = roi_ops.roi_align(feat, bc, rc, vc,
+                                      spatial_scale=scale, pad_ratio=0.0,
+                                      pooled=cfg.roi_pooled)
+                c = roi_ops.roi_align(feat, bc, rc, vc,
+                                      spatial_scale=scale,
+                                      pad_ratio=cfg.roi_pad_ratio,
+                                      pooled=cfg.roi_pooled)
+                return o, c
+
+            n = r // ck
+            org, ctx = jax.lax.map(_two, (batch_idx.reshape(n, ck),
+                                          rois.reshape(n, ck, 4),
+                                          valid.reshape(n, ck)))
+            org = org.reshape(r, *org.shape[2:])
+            ctx = ctx.reshape(r, *ctx.shape[2:])
+        else:
+            pool = lambda pr: roi_ops.roi_align(  # noqa: E731
+                feat, batch_idx, rois, valid, spatial_scale=scale,
+                pad_ratio=pr, pooled=cfg.roi_pooled)
     elif cfg.roi_method == "fast":
         # (an int8 table — halving the gather bytes — measured NEUTRAL:
         # the bin gathers are DMA-issue-bound, not byte-bound; BENCH.md

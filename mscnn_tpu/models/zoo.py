@@ -205,10 +205,17 @@ def cascade_widerface_12s_align(*, deploy: bool = False, max_out: int = 512):
     """widerface/cascade-mscnn-12s-align: cascade + ROIAlign, no 2x.
     Deploy scores via the reference's cls_prob_3rd_avg ensemble (widerface
     run_cascademscnn.m:46)."""
+    import dataclasses
+
     from mscnn_tpu.models.cascade import CascadeConfig
-    return CascadeConfig(base=widerface_12s_2x(
-        deploy=deploy, max_out=max_out, roi_align=True, use_2x=False),
-        ensemble_avg=True)
+    # roi_chunk=64: the bilinear-sample gathers hit the same volume cliff
+    # as the fast table but plateau lower — 512-roi stages read 21.7 ms
+    # fused, 19.2 at 128, 18.2 at 64/32 (BENCH.md round 5 align-chunk A/B)
+    base = dataclasses.replace(
+        widerface_12s_2x(deploy=deploy, max_out=max_out,
+                         roi_align=True, use_2x=False),
+        roi_chunk=64)
+    return CascadeConfig(base=base, ensemble_avg=True)
 
 
 def tiny_test_config(num_classes: int = 3, max_out: int = 32,

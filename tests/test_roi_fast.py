@@ -157,3 +157,17 @@ def test_roi_head_chunked_pools_bit_exact():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
                 err_msg=f"{name} image_major={image_major}")
+
+    # the ROIAlign path (cascade-align variants) chunks too; its head
+    # params use the (pooled+1)^2 align grid, so re-init for that config
+    align_base = dataclasses.replace(base, roi_align=True)
+    align_params = M.init_params(jax.random.key(0), align_base)
+    outs = {}
+    for chunk in (0, 4):
+        cfg = dataclasses.replace(align_base, roi_chunk=chunk)
+        outs[chunk] = M.roi_head(align_params, conv4_3, batch_idx, rois,
+                                 valid, cfg, train=False)
+    for a, b, name in ((outs[0][0], outs[4][0], "cls"),
+                       (outs[0][1], outs[4][1], "bbox")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"{name} roi_align")
