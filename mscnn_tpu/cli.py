@@ -661,10 +661,21 @@ def cmd_detect(args):
         def run_detect(img):
             return I.detect(params, img, cfg, spec, e2e_fwd=fwd)
 
-    paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")) +
-                   glob.glob(os.path.join(args.image_dir, "*.jpg")))
+    fmt = getattr(args, "format", "kitti") or "kitti"
+    if fmt == "widerface":
+        # the widerface layout nests images under event dirs
+        # (run_mscnn_detection.m walks event_list/file_list)
+        paths = sorted(
+            glob.glob(os.path.join(args.image_dir, "**", "*.png"),
+                      recursive=True) +
+            glob.glob(os.path.join(args.image_dir, "**", "*.jpg"),
+                      recursive=True))
+    else:
+        paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")) +
+                       glob.glob(os.path.join(args.image_dir, "*.jpg")))
     if args.iterations:
         paths = paths[: args.iterations]
+    buffered = {}  # i -> (path, det) for the whole-set writers below
 
     # prefetch image decode on worker threads so host IO overlaps device
     # compute (KITTI png decode is a similar magnitude to the forward)
@@ -685,13 +696,16 @@ def cmd_detect(args):
         done["n"] += 1
         if done["n"] == 1:
             done["t_first"] = _time.perf_counter()   # first call compiles
-        stem = os.path.splitext(os.path.basename(path))[0]
-        try:
-            img_idx = int(stem)
-        except ValueError:
-            img_idx = i
-        I.write_kitti_labels(I.detections_to_kitti(det, names),
-                             args.output_dir, img_idx)
+        if fmt != "kitti":
+            buffered[i] = (path, det)
+        else:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            try:
+                img_idx = int(stem)
+            except ValueError:
+                img_idx = i
+            I.write_kitti_labels(I.detections_to_kitti(det, names),
+                                 args.output_dir, img_idx)
         if (i + 1) % 100 == 0:
             avg = (_time.perf_counter() - t0) / (i + 1)
             print(f"idx {i + 1}/{len(paths)}, avgtime={avg:.4f}s")
@@ -732,6 +746,38 @@ def cmd_detect(args):
             flush_group()
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
+
+    comp_id = getattr(args, "comp_id", None) or "mscnn"
+    if fmt == "caltech":
+        # one flat imgIdx,x,y,w,h,score file per class
+        # (run_mscnn_detection.m:159-167; images keep paths order)
+        from mscnn_tpu.evaluation import caltech_eval as CE
+        os.makedirs(args.output_dir, exist_ok=True)
+        for k, name in enumerate(names):
+            if k == 0:
+                continue  # background
+            per_img = [I.detections_to_xywh(buffered[i][1], cls_id=k)
+                       if i in buffered else np.zeros((0, 5))
+                       for i in range(len(paths))]
+            CE.write_detections(
+                os.path.join(args.output_dir, f"{comp_id}_{name}.txt"),
+                per_img)
+    elif fmt == "widerface":
+        # per-event dirs of per-image txts (run_mscnn_detection.m:173-199);
+        # the event is the image's directory relative to --image-dir
+        from mscnn_tpu.evaluation import widerface_eval as WE
+        events = {}
+        for i in range(len(paths)):
+            if i not in buffered:
+                continue
+            path, det = buffered[i]
+            rel = os.path.relpath(os.path.dirname(path), args.image_dir)
+            event = "event0" if rel == "." else rel
+            stem = os.path.splitext(os.path.basename(path))[0]
+            events.setdefault(event, {})[stem] = \
+                I.detections_to_xywh(det, cls_id=1)
+        WE.write_detections(args.output_dir, comp_id, events)
+
     n = max(len(paths), 1)
     end = _time.perf_counter()
     msg = f"Done: {len(paths)} images, {(end - t0) / n:.4f} s/img"
@@ -831,7 +877,39 @@ def cmd_parity(args):
 
 
 def cmd_eval(args):
-    """KITTI AP scoring of a detection result dir against gt labels."""
+    """Detection scoring: KITTI AP (default), caltech MR-2, or widerface
+    AP — the three protocols the reference's zoo targets (KITTI via
+    evaluate_object.cpp; caltech/widerface via external toolboxes the
+    reference's READMEs point at, reimplemented natively here)."""
+    dataset = getattr(args, "dataset", "kitti")
+    required = {"kitti": ("gt_dir", "result_dir"),
+                "caltech": ("gt_dir", "result_file"),
+                "widerface": ("gt_file", "result_dir")}[dataset]
+    missing = [f"--{r.replace('_', '-')}" for r in required
+               if not getattr(args, r, None)]
+    if missing:
+        raise SystemExit(
+            f"eval --dataset {dataset} requires {' '.join(missing)}")
+    if dataset == "caltech":
+        from mscnn_tpu.evaluation import caltech_eval as CE
+
+        setting = CE.REASONABLE if args.setting == "reasonable" else CE.ALL
+        out = CE.evaluate_dirs(args.gt_dir, args.result_file,
+                               setting=setting)
+        print(json.dumps({"mr2": round(out["mr2"], 4),
+                          "n_images": out["n_images"],
+                          "n_pos": out["n_pos"]}))
+        return 0
+    if dataset == "widerface":
+        from mscnn_tpu.evaluation import widerface_eval as WE
+
+        gts = WE.parse_gt(args.gt_file)
+        dets = WE.read_detections(args.result_dir)
+        out = WE.evaluate(dets, gts)
+        print(json.dumps({"ap": round(out["ap"], 4),
+                          "n_gt": out["n_gt"]}))
+        return 0
+
     from mscnn_tpu.evaluation import kitti_eval as KE
 
     if args.image_set:
@@ -1248,16 +1326,37 @@ def main(argv=None):
                        help="serve from an AOT artifact directory "
                             "(mscnn compile); model/weights flags are "
                             "baked into the artifact")
+    p_det.add_argument("--format", default="kitti",
+                       choices=["kitti", "caltech", "widerface"],
+                       help="output layout: per-image KITTI labels, the "
+                            "flat caltech file, or per-event widerface "
+                            "txts (feeds `mscnn eval --dataset ...`)")
+    p_det.add_argument("--comp-id", default="mscnn",
+                       help="caltech/widerface result file prefix")
     _add_common(p_det)
     p_det.set_defaults(fn=cmd_detect)
 
-    p_eval = sub.add_parser("eval", help="KITTI AP scoring")
-    p_eval.add_argument("--gt-dir", required=True)
-    p_eval.add_argument("--result-dir", required=True)
+    p_eval = sub.add_parser(
+        "eval", help="detection scoring: KITTI AP / caltech MR-2 / "
+        "widerface AP")
+    p_eval.add_argument("--dataset", default="kitti",
+                        choices=["kitti", "caltech", "widerface"])
+    p_eval.add_argument("--gt-dir",
+                        help="kitti: label dir; caltech: bbGt v3 dir")
+    p_eval.add_argument("--result-dir",
+                        help="kitti: per-image txt dir; widerface: "
+                        "per-event detection tree")
     p_eval.add_argument("--image-set", help="file of image ids, one per line")
     p_eval.add_argument("--class-names", default="car")
     p_eval.add_argument("--stats-dir", default=None,
                         help="write devkit-layout stats_/plot files here")
+    p_eval.add_argument("--result-file",
+                        help="caltech: flat imgIdx,x,y,w,h,score file")
+    p_eval.add_argument("--gt-file",
+                        help="widerface: wider_face_*_bbx_gt.txt")
+    p_eval.add_argument("--setting", default="reasonable",
+                        choices=["reasonable", "all"],
+                        help="caltech gt filter")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_par = sub.add_parser(

@@ -374,6 +374,18 @@ def write_kitti_labels(objects: Sequence[dict], out_dir: str, img_idx: int,
                     f"{obj['score'] * score_scale:.2f}\n")
 
 
+def detections_to_xywh(det: dict, cls_id: int = 1) -> np.ndarray:
+    """One class of a detect() result as an [N,5] {x,y,w,h,score} array —
+    the row format of the reference's caltech/widerface writers
+    (run_mscnn_detection.m bbset = [tx ty tw th prob])."""
+    row = cls_id - 1
+    keep = np.asarray(det["valid"][row], dtype=bool)
+    boxes = np.asarray(det["boxes"][row], dtype=np.float64)[keep]
+    scores = np.asarray(det["scores"][row], dtype=np.float64)[keep]
+    return np.concatenate([boxes.reshape(-1, 4),
+                           scores.reshape(-1, 1)], axis=1)
+
+
 def detections_to_kitti(det: dict, class_names: Sequence[str],
                         cls_ids: Optional[Sequence[int]] = None):
     """Convert a detect() result to KITTI label-object dicts."""

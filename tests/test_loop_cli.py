@@ -526,3 +526,50 @@ def test_cli_train2_two_step_schedule(tiny_dataset, tmp_path):
     # stage-2-only layers exist and kept their fresh init
     only2 = sorted(set(p2) - set(p1))
     assert only2, "stage 2 adds no layers over stage 1"
+
+
+def test_cli_detect_caltech_and_widerface_formats(tmp_path, capsys):
+    """`mscnn detect --format caltech|widerface` writes the reference's
+    whole-set layouts (run_mscnn_detection.m caltech:159-167 /
+    widerface:173-199) and `mscnn eval --dataset ...` consumes them."""
+    import cv2
+    from mscnn_tpu import cli
+    from mscnn_tpu.evaluation import caltech_eval as CE
+    from mscnn_tpu.evaluation import widerface_eval as WE
+
+    img_dir = tmp_path / "imgs"
+    (img_dir / "0--Parade").mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+        cv2.imwrite(str(img_dir / "0--Parade" / f"f{i}.png"), img)
+
+    cal_out = tmp_path / "cal"
+    rc = cli.main(["detect", "--image-dir", str(img_dir),
+                   "--output-dir", str(cal_out), "--zoo", "tiny-test",
+                   "--class-names", "bg,car,van", "--format", "caltech",
+                   "--comp-id", "tinycomp"])
+    assert rc == 0
+    capsys.readouterr()
+    per_cls = sorted(p.name for p in cal_out.iterdir())
+    assert per_cls == ["tinycomp_car.txt", "tinycomp_van.txt"]
+    # the flat files parse back with one slot per image
+    back = CE.read_detections(str(cal_out / "tinycomp_car.txt"), 2)
+    assert len(back) == 2 and all(b.shape[1] == 5 for b in back)
+
+    wf_out = tmp_path / "wf"
+    rc = cli.main(["detect", "--image-dir", str(img_dir),
+                   "--output-dir", str(wf_out), "--zoo", "tiny-test",
+                   "--class-names", "bg,car,van", "--format", "widerface",
+                   "--comp-id", "tinycomp"])
+    assert rc == 0
+    capsys.readouterr()
+    tree = WE.read_detections(str(wf_out), "tinycomp")
+    # nested event dir + the flat images under the synthetic "event0"
+    assert set(tree) == {"0--Parade", "event0"}
+    assert set(tree["0--Parade"]) == {"f0", "f1"}
+    assert set(tree["event0"]) == {"000000", "000001"}
+    for imgs in tree.values():
+        for d in imgs.values():
+            assert d.ndim == 2 and d.shape[1] == 5
