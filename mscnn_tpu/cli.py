@@ -884,9 +884,12 @@ def cmd_eval(args):
     dataset = getattr(args, "dataset", "kitti")
     required = {"kitti": ("gt_dir", "result_dir"),
                 "caltech": ("gt_dir", "result_file"),
-                "widerface": ("gt_file", "result_dir")}[dataset]
+                "widerface": ("result_dir",)}[dataset]
     missing = [f"--{r.replace('_', '-')}" for r in required
                if not getattr(args, r, None)]
+    if dataset == "widerface" and not (getattr(args, "gt_file", None)
+                                       or getattr(args, "gt_mat", None)):
+        missing.append("--gt-file or --gt-mat")
     if missing:
         raise SystemExit(
             f"eval --dataset {dataset} requires {' '.join(missing)}")
@@ -903,9 +906,15 @@ def cmd_eval(args):
     if dataset == "widerface":
         from mscnn_tpu.evaluation import widerface_eval as WE
 
-        gts = WE.parse_gt(args.gt_file)
+        keep = None
+        if getattr(args, "gt_mat", None):
+            # official devkit split (+ curated difficulty keep lists)
+            gts, keep = WE.load_split_mat(
+                args.gt_mat, getattr(args, "difficulty_mat", None))
+        else:
+            gts = WE.parse_gt(args.gt_file)
         dets = WE.read_detections(args.result_dir)
-        out = WE.evaluate(dets, gts)
+        out = WE.evaluate(dets, gts, keep=keep)
         print(json.dumps({"ap": round(out["ap"], 4),
                           "n_gt": out["n_gt"]}))
         return 0
@@ -1172,6 +1181,42 @@ def cmd_convert_imageset(args):
     return 0
 
 
+def cmd_vbb2bbgt(args):
+    """Convert Caltech .vbb video annotations to per-frame bbGt v3 txts at
+    the standard sampling stride, so `mscnn eval --dataset caltech` can
+    score against the ORIGINAL annotation release (Dollar's vbb format);
+    default stride/offset = the devkit's 1 Hz extraction (every 30th
+    frame, first at frame index 29, matching I00029.jpg naming)."""
+    import glob
+    import os
+
+    from mscnn_tpu.evaluation import caltech_eval as CE
+
+    if os.path.isdir(args.vbb):
+        vbbs = sorted(glob.glob(os.path.join(args.vbb, "**", "*.vbb"),
+                                recursive=True))
+    else:
+        vbbs = [args.vbb]
+    if not vbbs:
+        print(f"no .vbb files under {args.vbb}")
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+    n_files = 0
+    for vp in vbbs:
+        stem = os.path.splitext(os.path.basename(vp))[0]
+        parent = os.path.basename(os.path.dirname(os.path.abspath(vp)))
+        prefix = f"{parent}_{stem}" if parent.startswith("set") else stem
+        frames = CE.load_vbb(vp)
+        for f in range(args.offset, len(frames), args.stride):
+            CE.write_bbgt(
+                os.path.join(args.output_dir, f"{prefix}_I{f:05d}.txt"),
+                frames[f])
+            n_files += 1
+    print(f"Wrote {n_files} bbGt files from {len(vbbs)} vbb(s) "
+          f"to {args.output_dir}")
+    return 0
+
+
 def cmd_compute_mean(args):
     """Dataset mean (tools/compute_image_mean.cpp analog): prints the BGR
     mean_value triple; optionally writes a BlobProto binaryproto."""
@@ -1354,6 +1399,12 @@ def main(argv=None):
                         help="caltech: flat imgIdx,x,y,w,h,score file")
     p_eval.add_argument("--gt-file",
                         help="widerface: wider_face_*_bbx_gt.txt")
+    p_eval.add_argument("--gt-mat",
+                        help="widerface: official wider_face_val.mat "
+                             "(alternative to --gt-file)")
+    p_eval.add_argument("--difficulty-mat",
+                        help="widerface: wider_{easy,medium,hard}_val.mat "
+                             "curated keep list (requires --gt-mat)")
     p_eval.add_argument("--setting", default="reasonable",
                         choices=["reasonable", "all"],
                         help="caltech gt filter")
@@ -1409,6 +1460,18 @@ def main(argv=None):
     p_conv.add_argument("--quality", type=int, default=95)
     p_conv.add_argument("-o", "--output", required=True)
     p_conv.set_defaults(fn=cmd_convert_imageset)
+
+    p_vbb = sub.add_parser(
+        "vbb2bbgt", help="convert Caltech .vbb annotations to per-frame "
+        "bbGt v3 txts (eval --dataset caltech input)")
+    p_vbb.add_argument("vbb", help=".vbb file or directory tree")
+    p_vbb.add_argument("--output-dir", required=True)
+    p_vbb.add_argument("--stride", type=int, default=30,
+                       help="frame sampling stride (devkit default 30)")
+    p_vbb.add_argument("--offset", type=int, default=29,
+                       help="first sampled frame index (default 29 = "
+                            "I00029, the devkit 1 Hz convention)")
+    p_vbb.set_defaults(fn=cmd_vbb2bbgt)
 
     p_mean = sub.add_parser(
         "compute_mean", help="dataset BGR mean (+ BlobProto output)")

@@ -46,8 +46,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = [
-    "GtBox", "Setting", "REASONABLE", "ALL",
-    "parse_bbgt", "apply_setting",
+    "GtBox", "Setting", "REASONABLE", "ALL", "CITYPERSONS",
+    "parse_bbgt", "write_bbgt", "load_vbb", "apply_setting",
     "write_detections", "read_detections",
     "eval_image", "mr_curve", "log_avg_miss_rate", "evaluate",
 ]
@@ -94,11 +94,17 @@ class Setting:
     squarify: Optional[float] = 0.41  # standard gt aspect ratio w/h
 
 
-# dbEval.m 'Reasonable' (the headline caltech metric) and an unfiltered
-# setting for datasets whose annotations already encode all ignores.
+# dbEval.m 'Reasonable' (the headline caltech metric), an unfiltered
+# setting for datasets whose annotations already encode all ignores, and
+# the CityPersons 'Reasonable' variant (same h/vis gates; CityPersons
+# ground truth ships with aligned 0.41-aspect boxes already, so no
+# squarify, and its 2048x1024 frames use no border margin) — the metric
+# the reference's citypersons example targets.
 REASONABLE = Setting("reasonable")
 ALL = Setting("all", h_rng=(20.0, float("inf")), v_rng=(0.2, 1.0),
               x_rng=None, y_rng=None)
+CITYPERSONS = Setting("citypersons", x_rng=None, y_rng=None,
+                      squarify=None)
 
 
 # --------------------------------------------------------------------- IO
@@ -122,6 +128,70 @@ def parse_bbgt(path: str) -> List[GtBox]:
                            vbb=(vx, vy, vw, vh), ignore=bool(ign),
                            angle=ang))
     return boxes
+
+
+def write_bbgt(path: str, boxes: Sequence[GtBox]) -> None:
+    """Write one bbGt version=3 annotation file (parse_bbgt's inverse)."""
+    with open(path, "w") as f:
+        f.write("% bbGt version=3\n")
+        for g in boxes:
+            x, y, w, h = g.bb
+            vx, vy, vw, vh = g.vbb
+            f.write(f"{g.label} {x:g} {y:g} {w:g} {h:g} "
+                    f"{int(g.occluded)} {vx:g} {vy:g} {vw:g} {vh:g} "
+                    f"{int(g.ignore)} {g.angle:g}\n")
+
+
+def _vbb_objs(frame_entry):
+    """Normalize one objLists cell to an iterable of object structs —
+    loadmat(squeeze_me) collapses empty frames to size-0 arrays and
+    single-object frames to a bare struct."""
+    if frame_entry is None:
+        return []
+    arr = np.atleast_1d(frame_entry)
+    if arr.size == 0:
+        return []
+    return list(arr.reshape(-1))
+
+
+def load_vbb(path: str) -> List[List[GtBox]]:
+    """Read Piotr Dollar's .vbb video annotation (the format the original
+    Caltech annotations ship in): a MAT-file struct ``A`` with per-frame
+    ``objLists`` (fields id/pos/posv/occl) and the id->label table
+    ``objLbl`` (vbb.m in Dollar's toolbox). Returns per-frame GtBox
+    lists; MATLAB's 1-based pixel positions are shifted to 0-based."""
+    from scipy.io import loadmat
+
+    m = loadmat(path, squeeze_me=True, struct_as_record=False)
+    if "A" not in m:
+        raise ValueError(f"{path}: not a vbb file (no 'A' struct)")
+    A = m["A"]
+    n = int(np.asarray(A.nFrame).reshape(-1)[0])
+    lbls = [str(s) for s in np.atleast_1d(A.objLbl)]
+    raw = np.atleast_1d(A.objLists)
+    frames: List[List[GtBox]] = []
+    for f in range(n):
+        entry = raw[f] if f < len(raw) else None
+        boxes: List[GtBox] = []
+        for o in _vbb_objs(entry):
+            pos = np.asarray(o.pos, dtype=np.float64).reshape(-1)
+            if pos.size < 4:
+                continue
+            posv = np.asarray(getattr(o, "posv", np.zeros(4)),
+                              dtype=np.float64).reshape(-1)
+            if posv.size < 4:
+                posv = np.zeros(4)
+            occ_raw = np.asarray(getattr(o, "occl", 0)).reshape(-1)
+            occ = bool(occ_raw[0]) if occ_raw.size else False
+            oid = int(np.asarray(o.id).reshape(-1)[0])
+            lbl = lbls[oid - 1] if 1 <= oid <= len(lbls) else "person"
+            bb = (pos[0] - 1.0, pos[1] - 1.0, pos[2], pos[3])
+            vbb = ((posv[0] - 1.0, posv[1] - 1.0, posv[2], posv[3])
+                   if posv[2] > 0 and posv[3] > 0 else
+                   (0.0, 0.0, 0.0, 0.0))
+            boxes.append(GtBox(label=lbl, bb=bb, occluded=occ, vbb=vbb))
+        frames.append(boxes)
+    return frames
 
 
 def write_detections(path: str,

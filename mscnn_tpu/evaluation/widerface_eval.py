@@ -38,7 +38,7 @@ import numpy as np
 
 __all__ = [
     "parse_gt", "write_detections", "read_detections",
-    "keep_valid", "keep_by_height",
+    "load_split_mat", "keep_valid", "keep_by_height",
     "image_eval", "evaluate", "voc_ap",
 ]
 
@@ -119,6 +119,58 @@ def read_detections(root: str, comp_id: Optional[str] = None
             imgs[fn[:-4]] = np.asarray(rows, dtype=np.float64).reshape(-1, 5)
         out[event] = imgs
     return out
+
+
+def _cell(x):
+    """Flatten a loadmat cell array to a python list."""
+    return [v for v in np.asarray(x).reshape(-1)]
+
+
+def load_split_mat(gt_mat: str, difficulty_mat: Optional[str] = None
+                   ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Read the OFFICIAL devkit split files: ``wider_face_val.mat``
+    (event_list / file_list / face_bbx_list cells) and optionally one of
+    ``wider_{easy,medium,hard}_val.mat`` (gt_list: per-event, per-image
+    1-based indices of the faces that count for that difficulty).
+
+    Returns (gts, keep) keyed ``event/image.jpg`` and directly consumable
+    by :func:`evaluate` — gts rows are zero-padded to the 10-column
+    attribute layout (only x,y,w,h are known from the mat), keep masks
+    come from gt_list when a difficulty file is given, else keep_valid.
+    """
+    from scipy.io import loadmat
+
+    m = loadmat(gt_mat)
+    events = [str(e[0]) for e in _cell(m["event_list"])]
+    file_ll = _cell(m["file_list"])
+    bbx_ll = _cell(m["face_bbx_list"])
+    d_ll = None
+    if difficulty_mat is not None:
+        d = loadmat(difficulty_mat)
+        d_ll = _cell(d["gt_list"])
+
+    gts: Dict[str, np.ndarray] = {}
+    keep: Dict[str, np.ndarray] = {}
+    for ei, event in enumerate(events):
+        files = _cell(file_ll[ei])
+        bbxs = _cell(bbx_ll[ei])
+        idxs = _cell(d_ll[ei]) if d_ll is not None else [None] * len(files)
+        for fi, (fname, bbx) in enumerate(zip(files, bbxs)):
+            name = str(np.asarray(fname).reshape(-1)[0])
+            boxes = np.asarray(bbx, dtype=np.float64).reshape(-1, 4)
+            full = np.zeros((len(boxes), GT_COLS), dtype=np.float64)
+            full[:, :4] = boxes
+            key = f"{event}/{name}.jpg"
+            gts[key] = full
+            if d_ll is not None:
+                k = np.zeros(len(boxes), dtype=bool)
+                sel = np.asarray(idxs[fi], dtype=np.int64).reshape(-1)
+                if sel.size:
+                    k[sel - 1] = True  # gt_list is 1-based
+                keep[key] = k
+            else:
+                keep[key] = keep_valid(full)
+    return gts, keep
 
 
 # ------------------------------------------------------------- keep masks

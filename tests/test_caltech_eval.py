@@ -194,3 +194,92 @@ def test_cli_eval_missing_args():
 
     with pytest.raises(SystemExit):
         cli.main(["eval", "--dataset", "caltech"])
+
+
+def test_citypersons_setting():
+    # same h/vis gates as reasonable, but no squarify and no border margin
+    gts = [_gt(0, 100, 25, 60),          # at x=0: kept (no margin gate)
+           _gt(100, 100, 20, 30)]        # too short -> ignore
+    out = CE.apply_setting(gts, CE.CITYPERSONS)
+    assert out[:, 4].tolist() == [0, 1]
+    np.testing.assert_allclose(out[0, :4], [0, 100, 25, 60])  # unsquarified
+
+
+# ----------------------------------------------------------------- vbb
+
+def _vbb_fixture(path):
+    """savemat a struct mirroring the real vbb layout: A.nFrame,
+    A.objLists (per-frame struct arrays with id/pos/posv/occl),
+    A.objLbl (id -> label)."""
+    from scipy.io import savemat
+
+    def objs(items):
+        a = np.empty((1, len(items)), dtype=object) if items else \
+            np.empty((1, 0), dtype=object)
+        for i, v in enumerate(items):
+            a[0, i] = v
+        return a
+
+    def obj(oid, pos, posv=(0, 0, 0, 0), occl=0):
+        return {"id": oid, "pos": np.asarray(pos, float),
+                "posv": np.asarray(posv, float), "occl": occl,
+                "lock": 0}
+
+    frames = np.empty((1, 3), dtype=object)
+    frames[0, 0] = objs([obj(1, [11, 21, 30, 80]),
+                         obj(2, [1, 1, 50, 50])])
+    frames[0, 1] = objs([])                       # empty frame
+    frames[0, 2] = objs([obj(1, [6, 6, 20, 40], posv=[6, 6, 10, 40],
+                             occl=1)])
+    lbl = np.empty((1, 2), dtype=object)
+    lbl[0, 0] = "person"
+    lbl[0, 1] = "people"
+    savemat(path, {"A": {"nFrame": 3, "objLists": frames, "objLbl": lbl,
+                         "maxObj": 2, "log": np.zeros((1, 0)),
+                         "logLen": 0, "altered": 0}})
+
+
+def test_load_vbb(tmp_path):
+    p = tmp_path / "V000.vbb"
+    _vbb_fixture(str(p))
+    frames = CE.load_vbb(str(p))
+    assert [len(f) for f in frames] == [2, 0, 1]
+    a, b = frames[0]
+    # MATLAB 1-based -> 0-based shift on positions
+    assert a.label == "person" and a.bb == (10, 20, 30, 80)
+    assert b.label == "people" and b.bb == (0, 0, 50, 50)
+    c = frames[2][0]
+    assert c.occluded and c.vbb == (5, 5, 10, 40)
+    assert c.visibility == pytest.approx(0.5)
+
+
+def test_write_bbgt_round_trip(tmp_path):
+    boxes = [CE.GtBox("person", (10, 20, 30, 80)),
+             CE.GtBox("people", (0, 0, 50, 50), ignore=True),
+             CE.GtBox("person", (5, 5, 20, 40), occluded=True,
+                      vbb=(5, 5, 10, 40))]
+    p = tmp_path / "I00029.txt"
+    CE.write_bbgt(str(p), boxes)
+    back = CE.parse_bbgt(str(p))
+    assert [b.label for b in back] == ["person", "people", "person"]
+    assert back[0].bb == (10, 20, 30, 80)
+    assert back[1].ignore
+    assert back[2].occluded and back[2].visibility == pytest.approx(0.5)
+
+
+def test_cli_vbb2bbgt(tmp_path, capsys):
+    from mscnn_tpu import cli
+
+    vdir = tmp_path / "set00"
+    vdir.mkdir()
+    _vbb_fixture(str(vdir / "V000.vbb"))
+    out = tmp_path / "ann"
+    rc = cli.main(["vbb2bbgt", str(tmp_path), "--output-dir", str(out),
+                   "--stride", "2", "--offset", "0"])
+    assert rc == 0
+    assert "Wrote 2 bbGt files" in capsys.readouterr().out
+    names = sorted(p.name for p in out.iterdir())
+    # setXX parent dir becomes the devkit-style prefix
+    assert names == ["set00_V000_I00000.txt", "set00_V000_I00002.txt"]
+    f0 = CE.parse_bbgt(str(out / "set00_V000_I00000.txt"))
+    assert len(f0) == 2 and f0[0].bb == (10, 20, 30, 80)

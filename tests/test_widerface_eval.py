@@ -169,3 +169,80 @@ def test_cli_eval_widerface(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ap"] == pytest.approx(1.0, abs=1e-4)
     assert out["n_gt"] == 1
+
+
+def _official_mat_fixture(tmp_path):
+    """savemat a structure with the official devkit nesting: event_list /
+    file_list / face_bbx_list cells in wider_face_val.mat; gt_list
+    (1-based kept-face indices) in the difficulty file."""
+    from scipy.io import savemat
+
+    def cell(items):
+        a = np.empty((len(items), 1), dtype=object)
+        for i, v in enumerate(items):
+            a[i, 0] = v
+        return a
+
+    events = cell([np.array(["0--Parade"]), np.array(["1--Handshaking"])])
+    files = cell([cell([np.array(["p0"]), np.array(["p1"])]),
+                  cell([np.array(["h0"])])])
+    bbx = cell([cell([np.array([[0, 0, 10, 10], [50, 0, 12, 12]], float),
+                      np.array([[5, 5, 20, 20]], float)]),
+                cell([np.array([[7, 7, 30, 30]], float)])])
+    gt_mat = tmp_path / "wider_face_val.mat"
+    savemat(str(gt_mat), {"event_list": events, "file_list": files,
+                          "face_bbx_list": bbx})
+    # hard list: p0 keeps only face 2; p1 keeps its face; h0 keeps none
+    gtl = cell([cell([np.array([[2]], float), np.array([[1]], float)]),
+                cell([np.zeros((0, 1), float)])])
+    hard_mat = tmp_path / "wider_hard_val.mat"
+    savemat(str(hard_mat), {"gt_list": gtl})
+    return gt_mat, hard_mat
+
+
+def test_load_split_mat_official_layout(tmp_path):
+    gt_mat, hard_mat = _official_mat_fixture(tmp_path)
+    gts, keep = WE.load_split_mat(str(gt_mat), str(hard_mat))
+    assert set(gts) == {"0--Parade/p0.jpg", "0--Parade/p1.jpg",
+                        "1--Handshaking/h0.jpg"}
+    np.testing.assert_allclose(gts["0--Parade/p0.jpg"][:, :4],
+                               [[0, 0, 10, 10], [50, 0, 12, 12]])
+    assert gts["0--Parade/p0.jpg"].shape == (2, 10)
+    np.testing.assert_array_equal(keep["0--Parade/p0.jpg"], [False, True])
+    np.testing.assert_array_equal(keep["0--Parade/p1.jpg"], [True])
+    np.testing.assert_array_equal(keep["1--Handshaking/h0.jpg"], [False])
+    # without a difficulty file: keep_valid defaults (all valid here)
+    gts2, keep2 = WE.load_split_mat(str(gt_mat))
+    np.testing.assert_array_equal(keep2["0--Parade/p0.jpg"], [True, True])
+
+
+def test_evaluate_with_official_mats(tmp_path):
+    gt_mat, hard_mat = _official_mat_fixture(tmp_path)
+    gts, keep = WE.load_split_mat(str(gt_mat), str(hard_mat))
+    # perfect detections on exactly the kept faces
+    dets = {"0--Parade": {"p0": np.array([[50, 0, 12, 12, 0.9]]),
+                          "p1": np.array([[5, 5, 20, 20, 0.8]])},
+            "1--Handshaking": {"h0": np.zeros((0, 5))}}
+    out = WE.evaluate(dets, gts, keep=keep)
+    assert out["n_gt"] == 2
+    assert out["ap"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cli_eval_widerface_mat(tmp_path, capsys):
+    import json
+
+    from mscnn_tpu import cli
+
+    gt_mat, hard_mat = _official_mat_fixture(tmp_path)
+    WE.write_detections(str(tmp_path / "dets"), "comp", {
+        "0--Parade": {"p0": np.array([[50, 0, 12, 12, 0.9]]),
+                      "p1": np.array([[5, 5, 20, 20, 0.8]])},
+        "1--Handshaking": {"h0": np.zeros((0, 5))}})
+    rc = cli.main(["eval", "--dataset", "widerface",
+                   "--gt-mat", str(gt_mat),
+                   "--difficulty-mat", str(hard_mat),
+                   "--result-dir", str(tmp_path / "dets" / "comp")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ap"] == pytest.approx(1.0, abs=1e-4)
+    assert out["n_gt"] == 2
