@@ -223,10 +223,12 @@ vector<ImageSpec> make_images(const string& tag, const vector<int>& hs,
 }
 
 // Common branch geometry for all scenarios (template 96x128):
-// strides (8,8,16,32), field_w (24,32,48,96), field_h (24,48,48,96) —
-// square, tall-1.5:1 and mixed fields as in the zoo variant matrix.
+// strides (8,8,16,32), field_w (24,32,24,96), field_h (24,48,48,96) —
+// square (kitti), tall-1.5:1 (kitti ped/cyc) AND tall-2:1 fields (the
+// caltech/citypersons pedestrian template shape), as in the zoo variant
+// matrix (SURVEY.md section 2.6b).
 const int kRates[4] = {8, 8, 16, 32};
-const int kFieldW[4] = {24, 32, 48, 96};
+const int kFieldW[4] = {24, 32, 24, 96};
 const int kFieldH[4] = {24, 48, 48, 96};
 
 struct ScenarioCfg {
@@ -331,7 +333,7 @@ void run_scenario(const ScenarioCfg& cfg, const vector<ImageSpec>& images,
      << ", \"min_gt_width\": " << cfg.min_gt_w
      << ", \"min_gt_height\": " << cfg.min_gt_h
      << ", \"downsample_rate\": [8,8,16,32]"
-     << ", \"field_w\": [24,32,48,96], \"field_h\": [24,48,48,96]"
+     << ", \"field_w\": [24,32,24,96], \"field_h\": [24,48,48,96]"
      << ", \"do_multiple_scale\": "
      << (cfg.do_multiple_scale ? "true" : "false") << "}";
   manifest_entry(cfg.name, pj.str());
