@@ -303,14 +303,18 @@ def roi_accuracy(logits, labels, valid=None):
 
 def bbox_accuracy(bbox_pred, rois_corners, match_gt, valid=None,
                   bbox_mean=None, bbox_std=None, cls_aware: bool = True):
-    """BboxAccuracy (bbox_accuracy_layer.cpp:80-124): mean IoU of decoded
+    """BboxAccuracy (bbox_accuracy_layer.cpp:37-129): mean IoU of decoded
     boxes vs matched gts, before and after regression.
 
     bbox_pred: [N, 4K]; rois_corners: [N, 4]; match_gt: [N, 6]
-    (label, x1, y1, x2, y2, overlap). Returns (post_iou, pre_iou), -1 if no fg.
+    (label, x1, y1, x2, y2, overlap). Returns (post_iou, pre_iou), -1 if no
+    countable fg. Rows whose match overlap exceeds 0.975 — the gt rows
+    ProposalTarget appends as rois — are excluded from both numerator and
+    denominator (gt_flags, bbox_accuracy_layer.cpp:73-77,:108); pinned
+    against reference-executed fixtures in tests/test_golden_ref.py.
     """
     labels = match_gt[:, 0].astype(jnp.int32)
-    fg = labels > 0
+    fg = (labels > 0) & (match_gt[:, 5] <= 0.975)
     if valid is not None:
         fg = fg & valid
     dec = box_ops.decode_with_prior(bbox_pred, rois_corners, bbox_mean, bbox_std)

@@ -13,6 +13,7 @@
 //   DecodeBBox fwd (cascade)     layers/decode_bbox_layer.cpp:54-127
 //   DetectionLoss fwd+bwd        layers/detection_loss_layer.cpp:114-470
 //   DetectionAccuracy fwd        layers/detection_accuracy_layer.cpp:52-197
+//   BboxAccuracy fwd             layers/bbox_accuracy_layer.cpp:37-129
 //   Softmax fwd                  layers/softmax_layer.cpp
 //
 // Usage: gen_fixtures <output_dir>
@@ -27,6 +28,7 @@
 
 #include "caffe/blob.hpp"
 #include "caffe/common.hpp"
+#include "caffe/layers/bbox_accuracy_layer.hpp"
 #include "caffe/layers/box_output_layer.hpp"
 #include "caffe/layers/decode_bbox_layer.hpp"
 #include "caffe/layers/detection_accuracy_layer.hpp"
@@ -714,6 +716,97 @@ void scenario_proposal_target() {
   run_proposal_target_keepall("proposal_target_keepall_agnostic", false, 8002);
 }
 
+// BboxAccuracy (bbox_accuracy_layer.cpp:37-129): mean decoded-box IoU vs
+// matched gt over fg rows (label > 0), EXCLUDING rows whose match overlap
+// exceeds 0.975 — the gt rows ProposalTarget appends as rois — from both
+// numerator and denominator (:73-77, :108). top[0] = post-regression IoU,
+// top[1] = roi-vs-gt IoU, both -1 when no countable fg row remains.
+// The prediction slot is always label*4 (:86), so scenarios keep
+// pred_classes > max_label (in the agnostic zoo configs labels are
+// binary, making label*4 the class-agnostic slot).
+void run_bbox_accuracy(const string& name, int pred_classes, int max_label,
+                       bool do_norm, bool all_bg, uint32_t seed) {
+  Rng rng(seed);
+  const int num = 32;
+  const int pred_dim = 4 * pred_classes;
+  const int img_w = 640, img_h = 480;
+
+  Blob<float> preds(num, pred_dim, 1, 1);
+  float* pp = preds.mutable_cpu_data();
+  for (int i = 0; i < preds.count(); ++i) {
+    pp[i] = (i % 4 < 2) ? rng.normal(0.f, 1.f) : rng.normal(0.f, 0.8f);
+  }
+
+  Blob<float> rois(num, 5, 1, 1);
+  Blob<float> gts(num, 6, 1, 1);
+  float* rp = rois.mutable_cpu_data();
+  float* gp = gts.mutable_cpu_data();
+  for (int i = 0; i < num; ++i) {
+    float x1 = rng.uniform(0.f, img_w * 0.6f);
+    float y1 = rng.uniform(0.f, img_h * 0.6f);
+    float w = rng.uniform(24.f, img_w * 0.3f);
+    float h = rng.uniform(24.f, img_h * 0.3f);
+    rp[i * 5] = 0.f;
+    rp[i * 5 + 1] = x1;
+    rp[i * 5 + 2] = y1;
+    rp[i * 5 + 3] = x1 + w;
+    rp[i * 5 + 4] = y1 + h;
+    int label = all_bg ? 0 : ((i % 4 == 3) ? 0 : rng.integer(1, max_label));
+    float overlap;
+    if (i % 4 == 0) {
+      // appended-gt row: roi == gt, overlap 1 -> flagged out
+      overlap = 1.f;
+      gp[i * 6 + 1] = x1;
+      gp[i * 6 + 2] = y1;
+      gp[i * 6 + 3] = x1 + w;
+      gp[i * 6 + 4] = y1 + h;
+    } else {
+      // one row just past the threshold pins the 0.975 cut itself
+      overlap = (i == 1) ? 0.98f : rng.uniform(0.5f, 0.95f);
+      gp[i * 6 + 1] = x1 + rng.uniform(-12.f, 12.f);
+      gp[i * 6 + 2] = y1 + rng.uniform(-12.f, 12.f);
+      gp[i * 6 + 3] = x1 + w + rng.uniform(-12.f, 12.f);
+      gp[i * 6 + 4] = y1 + h + rng.uniform(-12.f, 12.f);
+    }
+    gp[i * 6] = static_cast<float>(label);
+    gp[i * 6 + 5] = overlap;
+  }
+  save_blob(name + ".preds.npy", preds);
+  save_blob(name + ".rois.npy", rois);
+  save_blob(name + ".gts.npy", gts);
+
+  LayerParameter lp;
+  if (do_norm) {
+    auto* rpar = lp.mutable_bbox_reg_param();
+    for (int k = 0; k < 4; ++k) rpar->add_bbox_mean(0.f);
+    rpar->add_bbox_std(0.1f);
+    rpar->add_bbox_std(0.1f);
+    rpar->add_bbox_std(0.2f);
+    rpar->add_bbox_std(0.2f);
+  }
+  caffe::BboxAccuracyLayer<float> layer(lp);
+  Blob<float> post, pre;
+  vector<Blob<float>*> bottom{&preds, &rois, &gts}, top{&post, &pre};
+  layer.SetUp(bottom, top);
+  layer.Forward(bottom, top);
+  save_blob(name + ".post.npy", post);
+  save_blob(name + ".pre.npy", pre);
+
+  std::ostringstream pj;
+  pj << "{\"num\": " << num << ", \"pred_classes\": " << pred_classes
+     << ", \"max_label\": " << max_label
+     << ", \"do_norm\": " << (do_norm ? "true" : "false")
+     << ", \"means\": [0,0,0,0], \"stds\": [0.1,0.1,0.2,0.2]}";
+  manifest_entry(name, pj.str());
+}
+
+void scenario_bbox_accuracy() {
+  run_bbox_accuracy("bbox_accuracy_clsaware", 5, 4, true, false, 9001);
+  run_bbox_accuracy("bbox_accuracy_agnostic", 2, 1, true, false, 9002);
+  run_bbox_accuracy("bbox_accuracy_nonorm", 5, 4, false, false, 9003);
+  run_bbox_accuracy("bbox_accuracy_empty", 5, 4, true, true, 9004);
+}
+
 void scenario_softmax() {
   Rng rng(7001);
   Blob<float> in(2, 5, 6, 7);
@@ -749,6 +842,7 @@ int main(int argc, char** argv) {
   scenario_detection_loss();
   scenario_detection_accuracy();
   scenario_proposal_target();
+  scenario_bbox_accuracy();
   scenario_softmax();
 
   std::ofstream mf(g_outdir + "/manifest.json");

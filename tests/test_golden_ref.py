@@ -317,3 +317,35 @@ def test_proposal_target_keep_all(scenario, cls_aware):
     ours, ref = rows("ours"), rows("ref")
     assert ours.shape == ref.shape, (ours.shape, ref.shape)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+# ------------------------------------------------------------ BboxAccuracy
+
+@pytest.mark.parametrize("scenario,cls_aware", [
+    ("bbox_accuracy_clsaware", True),
+    ("bbox_accuracy_agnostic", False),
+    ("bbox_accuracy_nonorm", True),
+    ("bbox_accuracy_empty", True),
+])
+def test_bbox_accuracy(scenario, cls_aware):
+    """bbox_accuracy_layer.cpp:37-129 — incl. the gt_flags rule (:73-77):
+    rows whose match overlap exceeds 0.975 (the gt rows ProposalTarget
+    appends) leave both the numerator and the fg_count denominator, and
+    the fixtures carry one row at exactly 0.98 to pin the threshold. The
+    reference always reads prediction slot label*4 (:86); in its agnostic
+    zoo configs labels are binary so that IS the class-agnostic slot,
+    which is what our cls_aware=False path selects."""
+    p = MANIFEST[scenario]
+    preds = L(f"{scenario}.preds").reshape(p["num"], -1)
+    rois = L(f"{scenario}.rois").reshape(p["num"], 5)[:, 1:5]
+    gts = L(f"{scenario}.gts").reshape(p["num"], 6)
+    mean, std = (MEANS, STDS) if p["do_norm"] else (None, None)
+    post, pre = losses.bbox_accuracy(
+        jnp.asarray(preds), jnp.asarray(rois), jnp.asarray(gts),
+        bbox_mean=mean, bbox_std=std, cls_aware=cls_aware)
+    np.testing.assert_allclose(
+        float(post), float(L(f"{scenario}.post").ravel()[0]),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        float(pre), float(L(f"{scenario}.pre").ravel()[0]),
+        rtol=1e-5, atol=1e-5)
