@@ -19,6 +19,7 @@ Covered reference code paths (file:line refer to /root/reference):
   DecodeBBox forward            src/caffe/layers/decode_bbox_layer.cpp:54-127
   DetectionLoss fwd + bwd       src/caffe/layers/detection_loss_layer.cpp:114-470
   DetectionAccuracy forward     src/caffe/layers/detection_accuracy_layer.cpp:52-197
+  BboxAccuracy forward          src/caffe/layers/bbox_accuracy_layer.cpp:37-129
   Softmax forward               src/caffe/layers/softmax_layer.cpp
 """
 
