@@ -386,16 +386,21 @@ class Net:
                     shapes[tops[0]] = (in_shape[0], 1, 1, in_shape[-1])
                 else:
                     k = int(pp.get("kernel_size", 2))
-                    s = int(pp.get("stride", k))
-                    pad = int(pp.get("pad", 0))
+                    kh = int(pp.get("kernel_h", k))
+                    kw = int(pp.get("kernel_w", k))
+                    s = int(pp.get("stride", 1))  # caffe.proto:908 default 1
+                    sh = int(pp.get("stride_h", s))
+                    sw = int(pp.get("stride_w", s))
+                    p = int(pp.get("pad", 0))
+                    ph = int(pp.get("pad_h", p))
+                    pw = int(pp.get("pad_w", p))
                     import math
-                    oh = math.ceil((in_shape[1] + 2 * pad - k) / s) + 1
-                    ow = math.ceil((in_shape[2] + 2 * pad - k) / s) + 1
-                    if pad > 0:
-                        if (oh - 1) * s >= in_shape[1] + pad:
-                            oh -= 1
-                        if (ow - 1) * s >= in_shape[2] + pad:
-                            ow -= 1
+                    oh = math.ceil((in_shape[1] + 2 * ph - kh) / sh) + 1
+                    ow = math.ceil((in_shape[2] + 2 * pw - kw) / sw) + 1
+                    if ph > 0 and (oh - 1) * sh >= in_shape[1] + ph:
+                        oh -= 1
+                    if pw > 0 and (ow - 1) * sw >= in_shape[2] + pw:
+                        ow -= 1
                     shapes[tops[0]] = (in_shape[0], oh, ow, in_shape[-1])
             elif ltype == "Concat":
                 ax = _axis(int(layer.get("concat_param", {}).get("axis", 1)))
@@ -692,22 +697,43 @@ class Net:
                                             key=dropout_key)
             elif mode == "STOCHASTIC":
                 k = int(pp.get("kernel_size", 2))
+                # caffe.proto:908 — stride defaults to 1, not kernel_size
                 out = C.stochastic_pool(bots[0], k,
-                                        int(pp.get("stride", k)),
+                                        int(pp.get("stride", 1)),
                                         train=train, key=dropout_key)
             else:
                 fn = C.max_pool if mode == "MAX" else C.avg_pool
-                k = int(pp.get("kernel_size", 2))
-                out = fn(bots[0], k, int(pp.get("stride", k)),
-                         int(pp.get("pad", 0)))
+                k = int(pp.get("kernel_size", 0))
+                kh = int(pp.get("kernel_h", k))
+                kw = int(pp.get("kernel_w", k))
+                if kh <= 0 or kw <= 0:
+                    raise ValueError(
+                        f"layer {name!r}: Pooling needs kernel_size or "
+                        "kernel_h/kernel_w (pooling_layer.cpp CHECK)")
+                s = int(pp.get("stride", 1))  # caffe.proto:908 default 1
+                p = int(pp.get("pad", 0))
+                out = fn(bots[0], (kh, kw),
+                         (int(pp.get("stride_h", s)),
+                          int(pp.get("stride_w", s))),
+                         (int(pp.get("pad_h", p)), int(pp.get("pad_w", p))))
         elif ltype in ACTIVATIONS:
             out = ACTIVATIONS[ltype](bots[0], layer)
         elif ltype == "LRN":
             lp = layer.get("lrn_param", {})
-            out = LY.lrn(bots[0], int(lp.get("local_size", 5)),
-                         float(lp.get("alpha", 1.0)),
-                         float(lp.get("beta", 0.75)),
-                         float(lp.get("k", 1.0)))
+            region = str(lp.get("norm_region", "ACROSS_CHANNELS")).upper()
+            if region == "WITHIN_CHANNEL":
+                # lrn_layer.cpp:24-64 (k unused in this mode)
+                out = LY.lrn_within(bots[0], int(lp.get("local_size", 5)),
+                                    float(lp.get("alpha", 1.0)),
+                                    float(lp.get("beta", 0.75)))
+            elif region == "ACROSS_CHANNELS":
+                out = LY.lrn(bots[0], int(lp.get("local_size", 5)),
+                             float(lp.get("alpha", 1.0)),
+                             float(lp.get("beta", 0.75)),
+                             float(lp.get("k", 1.0)))
+            else:
+                raise ValueError(
+                    f"layer {name!r}: unknown LRN norm_region {region!r}")
         elif ltype == "Dropout":
             ratio = float(layer.get("dropout_param", {})
                           .get("dropout_ratio", 0.5))

@@ -44,6 +44,12 @@ def conv2d(x, w, b=None, *, stride: int = 1, padding="SAME"):
     return y.astype(x.dtype)
 
 
+def _as_pair(v):
+    """int -> (v, v); (h, w) passes through (Caffe kernel_h/w etc.)."""
+    return (int(v), int(v)) if isinstance(v, (int, float)) else \
+        (int(v[0]), int(v[1]))
+
+
 def _pool_padding(size: int, k: int, s: int, pad: int, ceil_mode: bool):
     """Per-edge (lo, hi) padding reproducing Caffe's ceil-mode output size."""
     if ceil_mode:
@@ -57,33 +63,56 @@ def _pool_padding(size: int, k: int, s: int, pad: int, ceil_mode: bool):
     return (pad, hi), out
 
 
-def max_pool(x, k: int = 2, stride: int = 2, pad: int = 0, ceil_mode: bool = True):
-    """Max pooling with Caffe's ceil-mode output-size convention."""
-    (plo_h, phi_h), _ = _pool_padding(x.shape[1], k, stride, pad, ceil_mode)
-    (plo_w, phi_w), _ = _pool_padding(x.shape[2], k, stride, pad, ceil_mode)
+def max_pool(x, k=2, stride=2, pad=0, ceil_mode: bool = True):
+    """Max pooling with Caffe's ceil-mode output-size convention.
+    k/stride/pad take an int (square, the common case) or an (h, w) pair
+    (PoolingParameter kernel_h/kernel_w etc., caffe.proto:902-910)."""
+    kh, kw = _as_pair(k)
+    sh, sw = _as_pair(stride)
+    ph, pw = _as_pair(pad)
+    (plo_h, phi_h), _ = _pool_padding(x.shape[1], kh, sh, ph, ceil_mode)
+    (plo_w, phi_w), _ = _pool_padding(x.shape[2], kw, sw, pw, ceil_mode)
     # init must be a weak-typed Python constant: a traced init value breaks
     # reverse-mode autodiff of reduce_window under jit.
     neg = float("-inf") if jnp.issubdtype(x.dtype, jnp.floating) \
         else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x, neg, lax.max,
-        window_dimensions=(1, k, k, 1),
-        window_strides=(1, stride, stride, 1),
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
         padding=((0, 0), (plo_h, phi_h), (plo_w, phi_w), (0, 0)),
     )
 
 
-def avg_pool(x, k: int = 2, stride: int = 2, pad: int = 0, ceil_mode: bool = True):
-    """Average pooling (Caffe AVE mode: divides by full window size)."""
-    (plo_h, phi_h), _ = _pool_padding(x.shape[1], k, stride, pad, ceil_mode)
-    (plo_w, phi_w), _ = _pool_padding(x.shape[2], k, stride, pad, ceil_mode)
+def _ave_divisor(size: int, k: int, s: int, pad: int, out: int):
+    """Caffe AVE pool_size along one axis (pooling_layer.cpp:197-205):
+    the window clipped to [start, size + pad] — pad cells count, the
+    ceil-mode overhang past size + pad does not."""
+    start = jnp.arange(out) * s - pad
+    return (jnp.minimum(start + k, size + pad) - start).astype(jnp.float32)
+
+
+def avg_pool(x, k=2, stride=2, pad=0, ceil_mode: bool = True):
+    """Average pooling (Caffe AVE mode): the sum counts real pixels only,
+    the divisor is the window clipped to the padded extent — so interior
+    windows divide by kh*kw (pad zeros included) while ceil-mode edge
+    windows divide by their smaller clipped size
+    (pooling_layer.cpp:197-212, pinned in tests/test_golden_ref_ops.py)."""
+    kh, kw = _as_pair(k)
+    sh, sw = _as_pair(stride)
+    ph, pw = _as_pair(pad)
+    (plo_h, phi_h), oh = _pool_padding(x.shape[1], kh, sh, ph, ceil_mode)
+    (plo_w, phi_w), ow = _pool_padding(x.shape[2], kw, sw, pw, ceil_mode)
     s = lax.reduce_window(
         x, 0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0, lax.add,
-        window_dimensions=(1, k, k, 1),
-        window_strides=(1, stride, stride, 1),
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
         padding=((0, 0), (plo_h, phi_h), (plo_w, phi_w), (0, 0)),
     )
-    return s / (k * k)
+    dh = _ave_divisor(x.shape[1], kh, sh, ph, oh)
+    dw = _ave_divisor(x.shape[2], kw, sw, pw, ow)
+    div = (dh[:, None] * dw[None, :])[None, :, :, None]
+    return s / div.astype(s.dtype)
 
 
 def _pool_patches(x, k: int, stride: int, ceil_mode: bool):

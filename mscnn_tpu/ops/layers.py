@@ -101,6 +101,20 @@ def lrn(x, local_size: int = 5, alpha: float = 1.0, beta: float = 0.75,
     return x / jnp.power(k + alpha / local_size * summed, beta)
 
 
+def lrn_within(x, local_size: int = 5, alpha: float = 1.0,
+               beta: float = 0.75):
+    """WITHIN_CHANNEL LRN (lrn_layer.cpp:24-64): the reference composes
+    AVE pooling of x^2 over a local_size spatial window (pad (size-1)/2,
+    stride 1 — so edge windows use Caffe's clipped pool_size) with a power
+    layer (1 + alpha*s)^(-beta); k is unused in this mode. local_size must
+    be odd (lrn_layer.cpp CHECK). Pinned against the reference-executed
+    layer in tests/test_golden_ref_ops.py."""
+    if local_size % 2 != 1:
+        raise ValueError("LRN only supports odd values for local_size")
+    s = C.avg_pool(x * x, local_size, 1, (local_size - 1) // 2)
+    return x * jnp.power(1.0 + alpha * s, -beta)
+
+
 def batch_norm(x, mean=None, var=None, *, eps: float = 1e-5, axis=-1,
                use_global_stats: bool = True):
     """BatchNorm (no scale/bias — the reference pairs it with a Scale
@@ -281,18 +295,19 @@ def im2col(x, kernel, stride: int = 1, pad: int = 0, dilation: int = 1):
 
 
 def spp(x, pyramid_height: int = 3, pool: str = "max"):
-    """Spatial pyramid pooling (spp_layer.cpp): levels of 2^l x 2^l grids
-    max-pooled and flattened. x: [B, H, W, C] -> [B, D]."""
+    """Spatial pyramid pooling (spp_layer.cpp:14-61): level l pools a
+    2^l x 2^l grid with kernel = ceil(dim / bins), stride = kernel and
+    pad = (kernel*bins - dim + 1) / 2 — the reference's exact window
+    placement (pinned in tests/test_golden_ref_ops.py) — then flattens and
+    concatenates levels. x: [B, H, W, C] -> [B, D]."""
     b, h, w, c = x.shape
     outs = []
     for level in range(pyramid_height):
         bins = 2 ** level
         kh, kw = -(-h // bins), -(-w // bins)
-        sh, sw = h // bins or 1, w // bins or 1
-        pooled = lax.reduce_window(
-            x, -jnp.inf if pool == "max" else 0.0,
-            lax.max if pool == "max" else lax.add,
-            (1, kh, kw, 1), (1, sh, sw, 1), "SAME")
+        ph, pw = (kh * bins - h + 1) // 2, (kw * bins - w + 1) // 2
+        fn = C.max_pool if pool == "max" else C.avg_pool
+        pooled = fn(x, (kh, kw), (kh, kw), (ph, pw))
         outs.append(pooled[:, :bins, :bins, :].reshape(b, -1))
     return jnp.concatenate(outs, axis=-1)
 

@@ -28,8 +28,23 @@
 
 #include "caffe/blob.hpp"
 #include "caffe/common.hpp"
+#include "caffe/layers/accuracy_layer.hpp"
 #include "caffe/layers/bbox_accuracy_layer.hpp"
+#include "caffe/layers/bnll_layer.hpp"
 #include "caffe/layers/box_output_layer.hpp"
+#include "caffe/layers/contrastive_loss_layer.hpp"
+#include "caffe/layers/eltwise_layer.hpp"
+#include "caffe/layers/elu_layer.hpp"
+#include "caffe/layers/hinge_loss_layer.hpp"
+#include "caffe/layers/lrn_layer.hpp"
+#include "caffe/layers/mvn_layer.hpp"
+#include "caffe/layers/pooling_layer.hpp"
+#include "caffe/layers/power_layer.hpp"
+#include "caffe/layers/prelu_layer.hpp"
+#include "caffe/layers/concat_layer.hpp"    // spp_layer.hpp needs these
+#include "caffe/layers/flatten_layer.hpp"
+#include "caffe/layers/split_layer.hpp"
+#include "caffe/layers/spp_layer.hpp"
 #include "caffe/layers/decode_bbox_layer.hpp"
 #include "caffe/layers/detection_accuracy_layer.hpp"
 #include "caffe/layers/detection_loss_layer.hpp"
@@ -807,6 +822,312 @@ void scenario_bbox_accuracy() {
   run_bbox_accuracy("bbox_accuracy_empty", 5, 4, true, true, 9004);
 }
 
+// ------------------------------------------------- standard-op quirk pins
+// Each scenario executes one reference layer forward and dumps bottoms +
+// tops; tests/test_golden_ref_ops.py replays them through ops/layers.py /
+// ops/conv.py. Focus is on the rounding/edge quirks analytic tests can
+// self-confirm but not cross-check: ceil-mode pooling clipping, the AVE
+// divisor counting pad-but-not-overhang cells, LRN WITHIN_CHANNEL's
+// pooled composition, SPP's kernel/pad derivation.
+
+void run_one(const string& name, caffe::Layer<float>* layer,
+             vector<Blob<float>*>& bottom, int n_tops,
+             const string& params_json) {
+  vector<Blob<float>*> top;
+  vector<std::shared_ptr<Blob<float>>> owned;
+  for (int i = 0; i < n_tops; ++i) {
+    owned.push_back(std::make_shared<Blob<float>>());
+    top.push_back(owned.back().get());
+  }
+  layer->SetUp(bottom, top);
+  layer->Forward(bottom, top);
+  for (size_t i = 0; i < bottom.size(); ++i)
+    save_blob(name + ".bottom" + std::to_string(i) + ".npy", *bottom[i]);
+  for (int i = 0; i < n_tops; ++i)
+    save_blob(name + ".top" + std::to_string(i) + ".npy", *top[i]);
+  manifest_entry(name, params_json);
+}
+
+void run_pooling(const string& name, const string& method, int kh, int kw,
+                 int sh, int sw, int ph, int pw, bool global_pool,
+                 uint32_t seed) {
+  Rng rng(seed);
+  Blob<float> in(2, 3, 9, 11);
+  fill_normal(&in, &rng);
+  LayerParameter lp;
+  auto* pp = lp.mutable_pooling_param();
+  pp->set_pool(method == "MAX" ? caffe::PoolingParameter_PoolMethod_MAX
+                               : caffe::PoolingParameter_PoolMethod_AVE);
+  if (global_pool) {
+    pp->set_global_pooling(true);
+  } else {
+    if (kh == kw) {
+      pp->set_kernel_size(kh);
+    } else {
+      pp->set_kernel_h(kh);
+      pp->set_kernel_w(kw);
+    }
+    if (sh == sw) {
+      pp->set_stride(sh);
+    } else {
+      pp->set_stride_h(sh);
+      pp->set_stride_w(sw);
+    }
+    if (ph == pw) {
+      if (ph) pp->set_pad(ph);
+    } else {
+      pp->set_pad_h(ph);
+      pp->set_pad_w(pw);
+    }
+  }
+  caffe::PoolingLayer<float> layer(lp);
+  vector<Blob<float>*> bottom{&in};
+  std::ostringstream pj;
+  pj << "{\"method\": \"" << method << "\", \"kh\": " << kh
+     << ", \"kw\": " << kw << ", \"sh\": " << sh << ", \"sw\": " << sw
+     << ", \"ph\": " << ph << ", \"pw\": " << pw
+     << ", \"global\": " << (global_pool ? "true" : "false") << "}";
+  run_one(name, &layer, bottom, 1, pj.str());
+}
+
+void scenario_pooling() {
+  run_pooling("pool_max_k3s2p1", "MAX", 3, 3, 2, 2, 1, 1, false, 9101);
+  run_pooling("pool_ave_k3s2p1", "AVE", 3, 3, 2, 2, 1, 1, false, 9102);
+  // ceil-mode overhang with pad 0: last window clipped -> AVE divisor < k*k
+  run_pooling("pool_ave_k3s3p0", "AVE", 3, 3, 3, 3, 0, 0, false, 9103);
+  run_pooling("pool_max_k3s3p0", "MAX", 3, 3, 3, 3, 0, 0, false, 9104);
+  // rectangular kernel/stride/pad (kernel_h/w fields)
+  run_pooling("pool_max_rect", "MAX", 3, 2, 2, 1, 1, 0, false, 9105);
+  run_pooling("pool_ave_rect", "AVE", 2, 3, 1, 2, 0, 1, false, 9106);
+  run_pooling("pool_max_global", "MAX", 0, 0, 0, 0, 0, 0, true, 9107);
+  run_pooling("pool_ave_global", "AVE", 0, 0, 0, 0, 0, 0, true, 9108);
+}
+
+void run_lrn(const string& name, bool within, int size, float alpha,
+             float beta, float k, uint32_t seed) {
+  Rng rng(seed);
+  Blob<float> in(2, 7, 5, 6);
+  fill_normal(&in, &rng);
+  LayerParameter lp;
+  auto* np = lp.mutable_lrn_param();
+  np->set_local_size(size);
+  np->set_alpha(alpha);
+  np->set_beta(beta);
+  np->set_k(k);
+  np->set_norm_region(within
+      ? caffe::LRNParameter_NormRegion_WITHIN_CHANNEL
+      : caffe::LRNParameter_NormRegion_ACROSS_CHANNELS);
+  caffe::LRNLayer<float> layer(lp);
+  vector<Blob<float>*> bottom{&in};
+  std::ostringstream pj;
+  pj << "{\"within\": " << (within ? "true" : "false")
+     << ", \"size\": " << size << ", \"alpha\": " << alpha
+     << ", \"beta\": " << beta << ", \"k\": " << k << "}";
+  run_one(name, &layer, bottom, 1, pj.str());
+}
+
+void scenario_lrn() {
+  run_lrn("lrn_across", false, 5, 0.8f, 0.75f, 2.0f, 9201);
+  run_lrn("lrn_within", true, 3, 0.9f, 0.7f, 1.0f, 9202);
+}
+
+void run_mvn(const string& name, bool norm_var, bool across, uint32_t seed) {
+  Rng rng(seed);
+  Blob<float> in(2, 3, 4, 5);
+  fill_normal(&in, &rng, 0.5f, 2.0f);
+  LayerParameter lp;
+  lp.mutable_mvn_param()->set_normalize_variance(norm_var);
+  lp.mutable_mvn_param()->set_across_channels(across);
+  caffe::MVNLayer<float> layer(lp);
+  vector<Blob<float>*> bottom{&in};
+  std::ostringstream pj;
+  pj << "{\"normalize_variance\": " << (norm_var ? "true" : "false")
+     << ", \"across_channels\": " << (across ? "true" : "false") << "}";
+  run_one(name, &layer, bottom, 1, pj.str());
+}
+
+void scenario_mvn() {
+  run_mvn("mvn_var_within", true, false, 9301);
+  run_mvn("mvn_var_across", true, true, 9302);
+  run_mvn("mvn_mean_within", false, false, 9303);
+  run_mvn("mvn_mean_across", false, true, 9304);
+}
+
+void scenario_neurons() {
+  // BNLL incl. magnitudes past the kBNLL_THRESHOLD=50 clamp
+  {
+    Rng rng(9401);
+    Blob<float> in(2, 3, 4, 5);
+    float* p = in.mutable_cpu_data();
+    for (int i = 0; i < in.count(); ++i) p[i] = rng.uniform(-90.f, 90.f);
+    LayerParameter lp;
+    caffe::BNLLLayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&in};
+    run_one("bnll", &layer, bottom, 1, "{}");
+  }
+  // ELU with non-default alpha
+  {
+    Rng rng(9402);
+    Blob<float> in(2, 3, 4, 5);
+    fill_normal(&in, &rng);
+    LayerParameter lp;
+    lp.mutable_elu_param()->set_alpha(0.5f);
+    caffe::ELULayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&in};
+    run_one("elu_a05", &layer, bottom, 1, "{\"alpha\": 0.5}");
+  }
+  // Power: (shift + scale x)^power, incl. a fractional negative power
+  {
+    Rng rng(9403);
+    Blob<float> in(2, 3, 4, 5);
+    float* p = in.mutable_cpu_data();
+    for (int i = 0; i < in.count(); ++i) p[i] = rng.uniform(0.1f, 3.f);
+    LayerParameter lp;
+    lp.mutable_power_param()->set_power(-0.75f);
+    lp.mutable_power_param()->set_scale(0.3f);
+    lp.mutable_power_param()->set_shift(2.0f);
+    caffe::PowerLayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&in};
+    run_one("power_frac", &layer, bottom, 1,
+            "{\"power\": -0.75, \"scale\": 0.3, \"shift\": 2.0}");
+  }
+  // PReLU per-channel and channel-shared; slopes overwritten post-SetUp
+  for (int shared = 0; shared < 2; ++shared) {
+    Rng rng(9404 + shared);
+    Blob<float> in(2, 4, 3, 5);
+    fill_normal(&in, &rng);
+    LayerParameter lp;
+    lp.mutable_prelu_param()->set_channel_shared(shared);
+    caffe::PReLULayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&in};
+    vector<Blob<float>*> top{nullptr};
+    Blob<float> out;
+    top[0] = &out;
+    layer.SetUp(bottom, top);
+    float* sl = layer.blobs()[0]->mutable_cpu_data();
+    for (int i = 0; i < layer.blobs()[0]->count(); ++i)
+      sl[i] = rng.uniform(0.05f, 0.6f);
+    layer.Forward(bottom, top);
+    string name = shared ? "prelu_shared" : "prelu_perchannel";
+    save_blob(name + ".bottom0.npy", in);
+    save_blob(name + ".slopes.npy", *layer.blobs()[0]);
+    save_blob(name + ".top0.npy", out);
+    std::ostringstream pj;
+    pj << "{\"channel_shared\": " << (shared ? "true" : "false") << "}";
+    manifest_entry(name, pj.str());
+  }
+}
+
+void scenario_eltwise() {
+  Rng rng(9501);
+  Blob<float> a(2, 3, 4, 5), b(2, 3, 4, 5), c(2, 3, 4, 5);
+  fill_normal(&a, &rng);
+  fill_normal(&b, &rng);
+  fill_normal(&c, &rng);
+  {
+    LayerParameter lp;
+    lp.mutable_eltwise_param()->set_operation(
+        caffe::EltwiseParameter_EltwiseOp_SUM);
+    lp.mutable_eltwise_param()->add_coeff(1.5f);
+    lp.mutable_eltwise_param()->add_coeff(-0.5f);
+    caffe::EltwiseLayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&a, &b};
+    run_one("eltwise_sum_coeff", &layer, bottom, 1,
+            "{\"operation\": \"sum\", \"coeff\": [1.5, -0.5]}");
+  }
+  {
+    LayerParameter lp;
+    lp.mutable_eltwise_param()->set_operation(
+        caffe::EltwiseParameter_EltwiseOp_PROD);
+    caffe::EltwiseLayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&a, &b, &c};
+    run_one("eltwise_prod3", &layer, bottom, 1,
+            "{\"operation\": \"prod\"}");
+  }
+  {
+    LayerParameter lp;
+    lp.mutable_eltwise_param()->set_operation(
+        caffe::EltwiseParameter_EltwiseOp_MAX);
+    caffe::EltwiseLayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&a, &b};
+    run_one("eltwise_max", &layer, bottom, 1, "{\"operation\": \"max\"}");
+  }
+}
+
+void scenario_spp() {
+  // odd sizes stress the ceil(kernel)/pad derivation (spp_layer.cpp:19-42)
+  Rng rng(9601);
+  Blob<float> in(2, 3, 13, 17);
+  fill_normal(&in, &rng);
+  LayerParameter lp;
+  lp.mutable_spp_param()->set_pyramid_height(3);
+  caffe::SPPLayer<float> layer(lp);
+  vector<Blob<float>*> bottom{&in};
+  run_one("spp_h3_max", &layer, bottom, 1,
+          "{\"pyramid_height\": 3, \"pool\": \"max\"}");
+}
+
+void scenario_losses_std() {
+  // Contrastive, modern and legacy forms
+  for (int legacy = 0; legacy < 2; ++legacy) {
+    Rng rng(9701 + legacy);
+    Blob<float> a(8, 4, 1, 1), b(8, 4, 1, 1), y(8, 1, 1, 1);
+    fill_normal(&a, &rng);
+    fill_normal(&b, &rng, 0.3f, 1.0f);
+    float* yp = y.mutable_cpu_data();
+    for (int i = 0; i < 8; ++i) yp[i] = static_cast<float>(i % 2);
+    LayerParameter lp;
+    lp.mutable_contrastive_loss_param()->set_margin(1.0f);
+    lp.mutable_contrastive_loss_param()->set_legacy_version(legacy);
+    caffe::ContrastiveLossLayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&a, &b, &y};
+    string name = legacy ? "contrastive_legacy" : "contrastive";
+    std::ostringstream pj;
+    pj << "{\"margin\": 1.0, \"legacy\": " << (legacy ? "true" : "false")
+       << "}";
+    run_one(name, &layer, bottom, 1, pj.str());
+  }
+  // Hinge L1 / L2
+  for (int l2 = 0; l2 < 2; ++l2) {
+    Rng rng(9703 + l2);
+    Blob<float> scores(8, 5, 1, 1), labels(8, 1, 1, 1);
+    fill_normal(&scores, &rng);
+    float* lb = labels.mutable_cpu_data();
+    for (int i = 0; i < 8; ++i) lb[i] = static_cast<float>(rng.integer(0, 4));
+    LayerParameter lp;
+    lp.mutable_hinge_loss_param()->set_norm(
+        l2 ? caffe::HingeLossParameter_Norm_L2
+           : caffe::HingeLossParameter_Norm_L1);
+    caffe::HingeLossLayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&scores, &labels};
+    string name = l2 ? "hinge_l2" : "hinge_l1";
+    std::ostringstream pj;
+    pj << "{\"norm\": \"" << (l2 ? "L2" : "L1") << "\"}";
+    run_one(name, &layer, bottom, 1, pj.str());
+  }
+  // Accuracy: top_k and ignore_label
+  for (int variant = 0; variant < 2; ++variant) {
+    Rng rng(9705 + variant);
+    Blob<float> scores(16, 6, 1, 1), labels(16, 1, 1, 1);
+    fill_normal(&scores, &rng);
+    float* lb = labels.mutable_cpu_data();
+    for (int i = 0; i < 16; ++i) lb[i] = static_cast<float>(rng.integer(0, 5));
+    LayerParameter lp;
+    if (variant == 0) {
+      lp.mutable_accuracy_param()->set_top_k(3);
+    } else {
+      lp.mutable_accuracy_param()->set_ignore_label(2);
+    }
+    caffe::AccuracyLayer<float> layer(lp);
+    vector<Blob<float>*> bottom{&scores, &labels};
+    string name = variant ? "accuracy_ignore2" : "accuracy_top3";
+    std::ostringstream pj;
+    pj << "{\"top_k\": " << (variant ? 1 : 3)
+       << ", \"ignore_label\": " << (variant ? 2 : -1) << "}";
+    run_one(name, &layer, bottom, 1, pj.str());
+  }
+}
+
 void scenario_softmax() {
   Rng rng(7001);
   Blob<float> in(2, 5, 6, 7);
@@ -843,6 +1164,13 @@ int main(int argc, char** argv) {
   scenario_detection_accuracy();
   scenario_proposal_target();
   scenario_bbox_accuracy();
+  scenario_pooling();
+  scenario_lrn();
+  scenario_mvn();
+  scenario_neurons();
+  scenario_eltwise();
+  scenario_spp();
+  scenario_losses_std();
   scenario_softmax();
 
   std::ofstream mf(g_outdir + "/manifest.json");
