@@ -365,6 +365,8 @@ def _export_weight(name: str, w: np.ndarray,
         return "InnerProduct", _fc_after_pool_inverse(w, fc_after_pool[name])
     if w.ndim == 2:
         return "InnerProduct", _fc_from_in_out(w)
+    if w.ndim == 1:
+        return "Scale", w  # per-channel vector (Scale layer blob)
     raise ValueError(f"layer {name}: cannot export weight of rank {w.ndim}")
 
 
@@ -394,11 +396,27 @@ def _iter_layer_blobs(params, deconv_names, fc_after_pool,
                 ]
             yield name, ltype, blobs
             continue
+        if "mean" in p and "var" in p and "w" not in p:
+            # BatchNorm: [mean, var, scale_factor]; we store normalized
+            # stats, so export with factor 1 (batch_norm_layer.cpp:98-105)
+            yield name, "BatchNorm", [
+                np.asarray(p["mean"], np.float32).reshape(-1),
+                np.asarray(p["var"], np.float32).reshape(-1),
+                np.ones((1,), np.float32),
+            ]
+            continue
+        if "slope" in p and "w" not in p:
+            yield name, "PReLU", [
+                np.asarray(p["slope"], np.float32).reshape(-1)]
+            continue
         if "w" not in p:
+            if "b" in p and p["b"] is not None:  # Bias-only layer
+                yield name, "Bias", [
+                    np.asarray(p["b"], np.float32).reshape(-1)]
             continue
         ltype, w = _export_weight(name, p["w"], deconv_names, fc_after_pool)
         blobs = [w]
-        if "b" in p:
+        if "b" in p and p["b"] is not None:
             blobs.append(np.asarray(p["b"], np.float32).reshape(-1))
         yield name, ltype, blobs
 
@@ -616,6 +634,45 @@ def load_caffemodel_params(path: str, params, cfg=None,
                 out[name] = new
                 report["copied"].append(name)
                 continue
+            if "mean" in p and "var" in p and "w" not in p:
+                # BatchNorm: blobs = [mean_sum, var_sum, scale_factor];
+                # the stored stats are running SUMS that Forward divides
+                # by the accumulated factor (batch_norm_layer.cpp:98-105)
+                if len(bl) != 3:
+                    raise ValueError(
+                        f"{len(bl)} blobs for BatchNorm (expected 3)")
+                sf = float(np.asarray(bl[2]).reshape(-1)[0])
+                sc = 0.0 if sf == 0 else 1.0 / sf
+                tm = np.asarray(p["mean"])
+                if bl[0].reshape(-1).shape != tm.shape:
+                    raise ValueError(
+                        f"mean {bl[0].shape} vs {tm.shape}")
+                new["mean"] = jnp.asarray(bl[0].reshape(-1) * sc, tm.dtype)
+                new["var"] = jnp.asarray(
+                    bl[1].reshape(-1) * sc, np.asarray(p["var"]).dtype)
+                out[name] = new
+                report["copied"].append(name)
+                continue
+            if "b" in p and "w" not in p and "slope" not in p \
+                    and "mean" not in p:
+                # Bias-only layer: one [C] blob
+                tb = np.asarray(p["b"])
+                if bl[0].reshape(-1).shape != tb.shape:
+                    raise ValueError(f"bias {bl[0].shape} vs {tb.shape}")
+                new["b"] = jnp.asarray(bl[0].reshape(-1), tb.dtype)
+                out[name] = new
+                report["copied"].append(name)
+                continue
+            if "slope" in p and "w" not in p:
+                # PReLU: one [C] (or [1], channel_shared) slope blob
+                ts = np.asarray(p["slope"])
+                if bl[0].reshape(-1).shape != ts.shape:
+                    raise ValueError(
+                        f"slope {bl[0].shape} vs {ts.shape}")
+                new["slope"] = jnp.asarray(bl[0].reshape(-1), ts.dtype)
+                out[name] = new
+                report["copied"].append(name)
+                continue
             if "w" in p:
                 target = np.asarray(p["w"])
                 if w.ndim == 4 and name in deconv_names:
@@ -626,6 +683,9 @@ def load_caffemodel_params(path: str, params, cfg=None,
                     wt = _fc_after_pool(w, fc_after_pool[name])
                 elif w.ndim == 2:
                     wt = _fc_to_in_out(w)
+                elif w.reshape(-1).shape == target.shape:
+                    # Scale/Bias-style per-channel vector blob
+                    wt = w.reshape(-1)
                 else:
                     raise ValueError(f"blob rank {w.ndim}")
                 if wt.shape != target.shape:

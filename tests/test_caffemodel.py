@@ -542,3 +542,60 @@ def test_solverstate_roundtrip_recurrent(tmp_path):
         for k, v in leaves.items():
             np.testing.assert_allclose(
                 np.asarray(back["h1"][lname][k]), v, rtol=1e-6)
+
+
+def test_batchnorm_import_divides_by_scale_factor(tmp_path):
+    """Caffe stores BatchNorm running stats as SUMS plus an accumulated
+    scale factor in blobs[2]; Forward divides by it
+    (batch_norm_layer.cpp:98-105). Import must apply the same division."""
+    c = 6
+    mean_sum = np.arange(c, dtype=np.float32) * 4.0
+    var_sum = (np.arange(c, dtype=np.float32) + 1.0) * 4.0
+    factor = np.array([4.0], np.float32)
+    path = tmp_path / "bn.caffemodel"
+    path.write_bytes(encode_net([("bn1", [mean_sum, var_sum, factor])]))
+
+    params = {"bn1": {"mean": jnp.zeros(c), "var": jnp.ones(c)}}
+    out, report = CM.load_caffemodel_params(str(path), params)
+    assert report["copied"] == ["bn1"]
+    np.testing.assert_allclose(np.asarray(out["bn1"]["mean"]),
+                               mean_sum / 4.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["bn1"]["var"]),
+                               var_sum / 4.0, rtol=1e-6)
+
+    # zero factor -> zeroed stats, the reference's guard
+    path2 = tmp_path / "bn0.caffemodel"
+    path2.write_bytes(encode_net(
+        [("bn1", [mean_sum, var_sum, np.zeros(1, np.float32)])]))
+    out, _ = CM.load_caffemodel_params(str(path2), params)
+    np.testing.assert_array_equal(np.asarray(out["bn1"]["mean"]),
+                                  np.zeros(c))
+
+
+def test_save_load_roundtrip_bn_prelu_scale(tmp_path, rng):
+    """BatchNorm / PReLU / Scale / Bias-only pytrees survive the
+    caffemodel round trip (previously silently dropped on export and
+    left untouched on import)."""
+    c = 5
+    params = {
+        "bn1": {"mean": jnp.asarray(rng.randn(c).astype(np.float32)),
+                "var": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)},
+        "prelu1": {"slope": jnp.asarray(
+            rng.rand(c).astype(np.float32) * 0.5)},
+        "scale1": {"w": jnp.asarray(rng.randn(c).astype(np.float32)),
+                   "b": jnp.asarray(rng.randn(c).astype(np.float32))},
+        "bias1": {"b": jnp.asarray(rng.randn(c).astype(np.float32))},
+    }
+    path = tmp_path / "aux.caffemodel"
+    n = CM.save_caffemodel(params, str(path))
+    assert n == 4
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    out, report = CM.load_caffemodel_params(str(path), zero)
+    assert sorted(report["copied"]) == sorted(params)
+    assert not report["mismatched"]
+    for lname, leaves in params.items():
+        for k, v in leaves.items():
+            np.testing.assert_allclose(
+                np.asarray(out[lname][k]), np.asarray(v), rtol=1e-6,
+                err_msg=f"{lname}.{k}")
